@@ -1,0 +1,277 @@
+"""Outer layer: validation, chroma-format adjustment, gain, POC-scheduled
+multi-config switching, and the frame loop (reference: src/vfgs_main.c).
+
+The per-frame LFSR bases are derived in closed form from (frame - epoch) where
+``epoch`` is the frame index of the last reseed (AFGS1 inits reseed,
+vfgs_fw.c:672; SEI inits do not, so grain state carries across SEI config
+switches exactly like the C statics, vfgs_main.c:771-781).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .models import config as cfgmod
+from .models import fw
+from .models.hw import HwRegs
+from .ops import lfsr
+from .utils import parsers, yuv
+from .utils.parsers import ConfigError, _check
+
+MAX_CONFIGS = 64
+
+
+def adjust_chroma_cfg(sei, fmt: int) -> None:
+    """Chroma model-value conversion for 4:2:2/4:2:0 (vfgs_main.c:208-230).
+
+    Mutates in place; applied on every config pop, so values re-read from a
+    config file get adjusted once but inherited values get re-adjusted (this
+    matches the reference, whose statics persist across pops)."""
+    if sei.model_id == 0:
+        for c in (1, 2):
+            if sei.comp_model_present_flag[c]:
+                for k in range(sei.num_intensity_intervals[c]):
+                    v = sei.comp_model_value[c][k]
+                    if fmt < yuv.YUV_444:
+                        v[1] = max(2, min(14, int(v[1]) << 1))
+                    if fmt < yuv.YUV_422:
+                        v[2] = max(2, min(14, int(v[2]) << 1))
+                    if fmt == yuv.YUV_420:
+                        v[0] = int(v[0]) >> 1
+                    elif fmt == yuv.YUV_422:
+                        v[0] = (int(v[0]) * 181 + 128) >> 8
+
+
+def check_cfg_sei(sei, fmt: int, depth: int) -> None:
+    """vfgs_main.c:232-267, including the index typo in the vertical-cutoff
+    check (the lower bound is tested on value[1], vfgs_main.c:254)."""
+    _check(fmt == yuv.YUV_420 or (not sei.comp_model_present_flag[1]
+                                  and not sei.comp_model_present_flag[2]),
+           "color grain currently not supported on yuv422 and yuv444 formats")
+    _check(sei.model_id == 0 or (not sei.comp_model_present_flag[1]
+                                 and not sei.comp_model_present_flag[2]),
+           "color grain currently not supported in SEI.AR mode")
+    _check(sei.model_id <= 1, "SEIFGCModelId shall be 0 or 1")
+    rng = 1 << depth
+    for c in range(3):
+        if sei.comp_model_present_flag[c]:
+            _check(1 <= sei.num_model_values[c] <= 6,
+                   f"SEIFGCNumModelValuesMinus1Comp{c} out of 0..5 range")
+            for i in range(sei.num_intensity_intervals[c]):
+                v = sei.comp_model_value[c][i]
+                _check(sei.intensity_interval_lower_bound[c][i]
+                       <= sei.intensity_interval_upper_bound[c][i],
+                       f"inconsistent interval {i} for component {c}")
+                _check(v[0] < rng,
+                       f"scaling factor for component {c} and interval {i} is too large")
+                if sei.model_id == 0:
+                    _check(2 <= v[1] <= 14,
+                           f"horizontal cutoff frequency for component {c} and "
+                           f"interval {i} out of 2..14 range")
+                    _check(v[1] >= 2 and v[2] <= 14,
+                           f"vertical cutoff frequency for component {c} and "
+                           f"interval {i} out of 2..14 range")
+                else:
+                    for mv in (1, 3, 5):
+                        _check(-rng // 2 <= v[mv] < rng // 2,
+                               f"AR coefficient for component {c} and interval "
+                               f"{i} is out of range")
+
+
+def check_cfg_afgs1(afgs1, fmt: int) -> None:
+    """vfgs_main.c:269-298."""
+    _check(fmt == yuv.YUV_420 or (not afgs1.num_cb_points
+                                  and not afgs1.num_cr_points),
+           "color grain currently not supported on yuv422 and yuv444 formats")
+    for name, vals, n in (("y", afgs1.point_y_values, afgs1.num_y_points),
+                          ("cb", afgs1.point_cb_values, afgs1.num_cb_points),
+                          ("cr", afgs1.point_cr_values, afgs1.num_cr_points)):
+        for i in range(1, n):
+            _check(vals[i] > vals[i - 1],
+                   f"afgs1.point_{name}_values shall be in increasing order")
+
+
+def check_cfg(sei, afgs1, fmt: int, depth: int) -> None:
+    if afgs1.num_y_points:
+        check_cfg_afgs1(afgs1, fmt)
+    else:
+        check_cfg_sei(sei, fmt, depth)
+
+
+def apply_gain(gain: int, sei, afgs1) -> None:
+    """Global grain-strength rescale (vfgs_main.c:561-593). Mutates in place."""
+    if gain == 100:
+        return
+    if afgs1.num_y_points:
+        while gain > 100:
+            afgs1.grain_scaling -= 1
+            gain //= 2
+        while gain and gain < 50:
+            afgs1.grain_scaling += 1
+            gain *= 2
+        for arr, n in ((afgs1.point_y_scaling, afgs1.num_y_points),
+                       (afgs1.point_cb_scaling, afgs1.num_cb_points),
+                       (afgs1.point_cr_scaling, afgs1.num_cr_points)):
+            for i in range(n):
+                arr[i] = np.uint8((int(arr[i]) * gain // 100) & 0xFF)
+    else:
+        while gain > 100:
+            sei.log2_scale_factor -= 1
+            gain //= 2
+        while gain and gain < 50:
+            sei.log2_scale_factor += 1
+            gain *= 2
+        for c in range(3):
+            if sei.comp_model_present_flag[c]:
+                for i in range(sei.num_intensity_intervals[c]):
+                    v = int(sei.comp_model_value[c][i][0]) * gain // 100
+                    sei.comp_model_value[c][i][0] = np.int16(
+                        ((v + 0x8000) & 0xFFFF) - 0x8000)
+
+
+def parse_cfg_param(param: str):
+    """Parse a ``[poc:]filename`` -c argument (vfgs_main.c:595-633)."""
+    poc = 0
+    filename = param
+    idx = param.find(":")
+    if idx >= 0:
+        head = param[:idx]
+        if head and all(ch.isdigit() for ch in head):
+            _check(len(head) < 16, "illegal configuration POC")
+            poc = int(head)
+            filename = param[idx + 1:]
+    return poc, filename
+
+
+class GrainPipeline:
+    """Holds persistent metadata/register state and processes frames."""
+
+    def __init__(self, width: int, height: int, depth: int, fmt: int,
+                 gain: int = 100, seed: int = 0, seek: int = 0,
+                 configs=(), use_pallas: bool | None = None):
+        if depth not in (8, 10):
+            raise ConfigError("input depth must be 8 or 10")
+        if width < 128 or height < 128:
+            raise ConfigError("width and height must be at least 128")
+        self.width, self.height = width, height
+        self.depth, self.fmt = depth, fmt
+        self.gain, self.seek = gain, seek
+        self.sei = cfgmod.default_sei()
+        self.afgs1 = cfgmod.default_afgs1()
+        self.regs = HwRegs()
+        self.configs = [parse_cfg_param(p) for p in configs]
+        _check(len(self.configs) <= MAX_CONFIGS,
+               f"too many configurations (maximum is {MAX_CONFIGS})")
+        self.icfg = 0
+        self.epoch = 0  # frame index of last reseed
+        self.use_pallas = use_pallas
+        self._R = -(-height // 16)
+        self._C = -(-width // 16)
+
+        check_cfg(self.sei, self.afgs1, fmt, depth)
+        self.regs.set_depth(depth)
+        self.regs.set_chroma_subsampling(2 if fmt < yuv.YUV_444 else 1,
+                                         2 if fmt < yuv.YUV_422 else 1)
+        adjust_chroma_cfg(self.sei, fmt)
+        apply_gain(gain, self.sei, self.afgs1)
+        self._init_fw(frame=0)
+        if seed:
+            self.regs.set_seed(seed)
+
+    # ------------------------------------------------------------------
+
+    def _init_fw(self, frame: int) -> None:
+        if self.afgs1.num_y_points:
+            fw.init_afgs1(self.afgs1, self.regs)
+            self.epoch = frame  # init_afgs1 reseeds (vfgs_fw.c:672)
+        else:
+            fw.init_sei(self.sei, self.regs)
+
+    def pop_cfg(self, frame: int) -> None:
+        """Re-read/validate/adjust/re-init for the next scheduled config."""
+        _check(self.icfg < len(self.configs), "No configuration to pop")
+        _, filename = self.configs[self.icfg]
+        parsers.read_cfg(filename, self.sei, self.afgs1)
+        check_cfg(self.sei, self.afgs1, self.fmt, self.depth)
+        adjust_chroma_cfg(self.sei, self.fmt)
+        apply_gain(self.gain, self.sei, self.afgs1)
+        self.icfg += 1
+        self._init_fw(frame)
+
+    def maybe_switch_config(self, n: int) -> None:
+        while (self.icfg < len(self.configs)
+               and n + self.seek >= self.configs[self.icfg][0]):
+            try:
+                self.pop_cfg(n)
+            except ConfigError as e:
+                # The reference keeps processing with the previous config on a
+                # failed pop (vfgs_main.c:773-776).
+                import sys
+                print(f"Error: {e}", file=sys.stderr)
+                break
+
+    # ------------------------------------------------------------------
+
+    def frame_bases(self, n: int) -> tuple[int, int]:
+        """LFSR lattice bases for frame n (see ops/lfsr.py)."""
+        R, C = self._R, self._C
+        e0 = (n - self.epoch) * (R - 1) * C
+        base = int(lfsr.advance(np.uint32(self.regs.seed_state), e0))
+        base_up = (int(lfsr.advance(np.uint32(self.regs.seed_state), e0 - C))
+                   if e0 > 0 else base)
+        return base, base_up
+
+    def process_frame(self, planes, n: int):
+        """Add grain to one (Y, U, V) frame (numpy in/out, same dtype)."""
+        self.maybe_switch_config(n)
+        return self._run_engine(planes, n)
+
+    def _run_engine(self, planes, n: int):
+        import jax.numpy as jnp
+        from .ops.grain_jnp import add_grain_frame_jit
+
+        regs = self.regs
+        R, C = self._R, self._C
+        bhc = 16 // regs.csuby
+        bwc = 16 // regs.csubx
+        y, u, v = planes
+        yp = yuv.pad_plane(y, R * 16, C * 16).astype(np.int32)
+        up = yuv.pad_plane(u, R * bhc, C * bwc).astype(np.int32)
+        vp = yuv.pad_plane(v, R * bhc, C * bwc).astype(np.int32)
+        base, base_up = self.frame_bases(n)
+        dp = regs.device_params()
+        yo, uo, vo = add_grain_frame_jit(
+            jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+            jnp.uint32(base), jnp.uint32(base_up),
+            jnp.asarray(dp["pattern"]), jnp.asarray(dp["sluts"]),
+            jnp.asarray(dp["pluts"]), dp["scale_shift"],
+            dp["y_min"], dp["y_max"], dp["c_min"], dp["c_max"],
+            height=self.height, width=self.width, bs=regs.bs,
+            csubx=regs.csubx, csuby=regs.csuby)
+        dt = y.dtype
+        cw, ch = u.shape[1], u.shape[0]
+        return (np.asarray(yo)[:self.height, :self.width].astype(dt),
+                np.asarray(uo)[:ch, :cw].astype(dt),
+                np.asarray(vo)[:ch, :cw].astype(dt))
+
+    # ------------------------------------------------------------------
+
+    def run(self, fsrc, fdst, frames: int = 0, odepth: int = 0) -> int:
+        """Full frame loop (vfgs_main.c:762-796). Returns frames written."""
+        odepth = odepth or self.depth
+        assert odepth in (8, 10) and odepth <= self.depth
+        yuv.skip_frames(fsrc, self.seek, self.width, self.height,
+                        self.depth, self.fmt)
+        n = 0
+        while frames == 0 or n < frames:
+            self.maybe_switch_config(n)
+            planes = yuv.read_frame(fsrc, self.width, self.height,
+                                    self.depth, self.fmt)
+            if planes is None:
+                break
+            out = self._run_engine(planes, n)
+            if odepth < self.depth:
+                out = yuv.to_8bit(out)
+            yuv.write_frame(fdst, out, odepth)
+            n += 1
+        return n
