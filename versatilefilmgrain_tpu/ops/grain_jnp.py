@@ -44,8 +44,8 @@ def _round_shift(a, s):
 
 
 def plane_grain(pix, states, states_up, pattern_flat, slut, plut,
-                scale_shift, imin, imax, *, c: int, csubx: int, csuby: int,
-                bs: int):
+                scale_shift, imin, imax, ov_mask=None, *, c: int,
+                csubx: int, csuby: int, bs: int):
     """Add grain to one plane.
 
     pix: (Hp, Wp) int32, padded to (R*bh, C*bw).
@@ -53,6 +53,9 @@ def plane_grain(pix, states, states_up, pattern_flat, slut, plut,
     pattern_flat: (512*64,) int8 -- this plane class's 8 64x64 patterns.
     slut/plut: (256,) int32 -- scale / pattern LUTs for this component.
     scale_shift/imin/imax: traced int32 scalars (config registers).
+    ov_mask: (R,) bool -- which block rows apply vertical overlap (globally
+    r >= 1, i.e. picture line y > 15).  Defaults to the single-shard mask;
+    sharded callers pass their global slice.
     """
     Hp, Wp = pix.shape
     subx = csubx if c else 1
@@ -68,6 +71,8 @@ def plane_grain(pix, states, states_up, pattern_flat, slut, plut,
     s, ox, oy = block_offsets(states, c, csubx, csuby)
     su, oxu, oyu = block_offsets(states_up, c, csubx, csuby)
 
+    in_dtype = pix.dtype
+    pix = pix.astype(jnp.int32)
     intensity = (pix >> bs) & 0xFF
     pi = jnp.take(plut, intensity) >> 4     # pattern index (vfgs_hw.c:212)
     sc = jnp.take(slut, intensity)          # scale (vfgs_hw.c:239)
@@ -88,8 +93,11 @@ def plane_grain(pix, states, states_up, pattern_flat, slut, plut,
     Pup = jnp.take(pattern_flat, row_u * 64 + col_u).astype(jnp.int32) \
         * su[:, None, :, None]
     blend = _round_shift(P[:, :n_ov] * oc1 + Pup * oc2, 5)
-    rmask = np.zeros((R, 1, 1, 1), dtype=bool)
-    rmask[1:] = True                        # overlap only for y > 15
+    if ov_mask is None:
+        rmask = np.zeros((R, 1, 1, 1), dtype=bool)
+        rmask[1:] = True                    # overlap only for y > 15
+    else:
+        rmask = ov_mask.reshape(R, 1, 1, 1)
     Pov = jnp.where(rmask, blend, P[:, :n_ov])
     P = jnp.concatenate([Pov, P[:, n_ov:]], axis=1).reshape(Hp, Wp)
 
@@ -105,7 +113,7 @@ def plane_grain(pix, states, states_up, pattern_flat, slut, plut,
 
     # Scale, add, clamp (vfgs_hw.c:263-267).
     g = (sc * P + (1 << (scale_shift - 1))) >> scale_shift
-    return jnp.clip(pix + g, imin << bs, imax << bs)
+    return jnp.clip(pix + g, imin << bs, imax << bs).astype(in_dtype)
 
 
 def add_grain_frame(y, u, v, base, base_up, pattern, sluts, pluts,

@@ -148,7 +148,7 @@ class GrainPipeline:
 
     def __init__(self, width: int, height: int, depth: int, fmt: int,
                  gain: int = 100, seed: int = 0, seek: int = 0,
-                 configs=(), use_pallas: bool | None = None):
+                 configs=(), engine: str = "fast"):
         if depth not in (8, 10):
             raise ConfigError("input depth must be 8 or 10")
         if width < 128 or height < 128:
@@ -164,7 +164,9 @@ class GrainPipeline:
                f"too many configurations (maximum is {MAX_CONFIGS})")
         self.icfg = 0
         self.epoch = 0  # frame index of last reseed
-        self.use_pallas = use_pallas
+        self.engine = engine
+        self._ft_cache = None  # (generation, tables)
+        self._cfg_generation = 0
         self._R = -(-height // 16)
         self._C = -(-width // 16)
 
@@ -186,6 +188,13 @@ class GrainPipeline:
             self.epoch = frame  # init_afgs1 reseeds (vfgs_fw.c:672)
         else:
             fw.init_sei(self.sei, self.regs)
+        self._cfg_generation += 1
+
+    def _fast_tables(self):
+        from .ops.grain_fast import fast_tables
+        if self._ft_cache is None or self._ft_cache[0] != self._cfg_generation:
+            self._ft_cache = (self._cfg_generation, fast_tables(self.regs))
+        return self._ft_cache[1]
 
     def pop_cfg(self, frame: int) -> None:
         """Re-read/validate/adjust/re-init for the next scheduled config."""
@@ -228,26 +237,39 @@ class GrainPipeline:
 
     def _run_engine(self, planes, n: int):
         import jax.numpy as jnp
-        from .ops.grain_jnp import add_grain_frame_jit
 
         regs = self.regs
         R, C = self._R, self._C
         bhc = 16 // regs.csuby
         bwc = 16 // regs.csubx
         y, u, v = planes
-        yp = yuv.pad_plane(y, R * 16, C * 16).astype(np.int32)
-        up = yuv.pad_plane(u, R * bhc, C * bwc).astype(np.int32)
-        vp = yuv.pad_plane(v, R * bhc, C * bwc).astype(np.int32)
+        yp = yuv.pad_plane(y, R * 16, C * 16)
+        up = yuv.pad_plane(u, R * bhc, C * bwc)
+        vp = yuv.pad_plane(v, R * bhc, C * bwc)
         base, base_up = self.frame_bases(n)
-        dp = regs.device_params()
-        yo, uo, vo = add_grain_frame_jit(
-            jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-            jnp.uint32(base), jnp.uint32(base_up),
-            jnp.asarray(dp["pattern"]), jnp.asarray(dp["sluts"]),
-            jnp.asarray(dp["pluts"]), dp["scale_shift"],
-            dp["y_min"], dp["y_max"], dp["c_min"], dp["c_max"],
-            height=self.height, width=self.width, bs=regs.bs,
-            csubx=regs.csubx, csuby=regs.csuby)
+        if self.engine == "fast":
+            from .ops.grain_fast import add_grain_frame_fast_jit, fast_tables
+            ft = self._fast_tables()
+            yo, uo, vo = add_grain_frame_fast_jit(
+                jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+                jnp.uint32(base), jnp.uint32(base_up),
+                jnp.asarray(ft["win_luma"]), jnp.asarray(ft["win_chroma"]),
+                jnp.asarray(ft["seg_starts"]), jnp.asarray(ft["seg_deltas"]),
+                ft["scale_shift"], ft["y_min"], ft["y_max"],
+                ft["c_min"], ft["c_max"],
+                height=self.height, width=self.width, bs=regs.bs,
+                csubx=regs.csubx, csuby=regs.csuby)
+        else:
+            from .ops.grain_jnp import add_grain_frame_jit
+            dp = regs.device_params()
+            yo, uo, vo = add_grain_frame_jit(
+                jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+                jnp.uint32(base), jnp.uint32(base_up),
+                jnp.asarray(dp["pattern"]), jnp.asarray(dp["sluts"]),
+                jnp.asarray(dp["pluts"]), dp["scale_shift"],
+                dp["y_min"], dp["y_max"], dp["c_min"], dp["c_max"],
+                height=self.height, width=self.width, bs=regs.bs,
+                csubx=regs.csubx, csuby=regs.csuby)
         dt = y.dtype
         cw, ch = u.shape[1], u.shape[0]
         return (np.asarray(yo)[:self.height, :self.width].astype(dt),
