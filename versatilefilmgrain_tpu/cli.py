@@ -7,6 +7,7 @@ flags error out, and the two positional arguments are input/output YUV paths.
 
 from __future__ import annotations
 
+import os
 import sys
 
 from .pipeline import GrainPipeline
@@ -59,6 +60,7 @@ def main(argv=None) -> int:
     fmt = _DEFAULTS["fmt"]
     frames, seek = 0, 0
     seed, gain = 0, 100
+    batch = 4
     configs: list[str] = []
     src = dst = None
     err = False
@@ -100,6 +102,8 @@ def main(argv=None) -> int:
             configs.append(val())
         elif pl in ("-g", "--gain"):
             gain = _atoi(val())
+        elif pl == "--batch":  # extension: frames per device dispatch
+            batch = max(1, _atoi(val()))
         elif pl == "--help":
             print(help_text(name))
             return 1
@@ -129,21 +133,16 @@ def main(argv=None) -> int:
         print(f"Error: {e}", file=sys.stderr)
         return 1
 
-    try:
-        fsrc = open(src, "rb")
-    except OSError:
+    if not os.path.isfile(src):
         print(f"Can not open file {src}\n")
         print(help_text(name))
         return 1
     try:
-        fdst = open(dst, "wb")
-    except OSError:
-        print(f"Can not create file {dst}\n")
+        pipe.run_file(src, dst, frames=frames, odepth=odepth, batch=batch)
+    except OSError as e:
+        print(str(e) + "\n")
         print(help_text(name))
         return 1
-
-    with fsrc, fdst:
-        pipe.run(fsrc, fdst, frames=frames, odepth=odepth)
     return 0
 
 

@@ -297,3 +297,159 @@ class GrainPipeline:
             yuv.write_frame(fdst, out, odepth)
             n += 1
         return n
+
+    # -- batched high-throughput file pipeline --------------------------
+
+    def _split_frame(self, raw: np.ndarray):
+        """View a raw frame byte buffer as (Y, U, V) planes."""
+        w, h = self.width, self.height
+        cw, ch = yuv.chroma_dims(w, h, self.fmt)
+        dt = np.uint8 if self.depth == 8 else np.dtype("<u2")
+        arr = raw.view(dt)
+        y = arr[:w * h].reshape(h, w)
+        u = arr[w * h:w * h + cw * ch].reshape(ch, cw)
+        v = arr[w * h + cw * ch:w * h + 2 * cw * ch].reshape(ch, cw)
+        return y, u, v
+
+    def _batched_step(self, B: int):
+        import functools
+        import jax
+        from .ops.grain_fast import add_grain_frame_fast
+
+        if getattr(self, "_bstep", None) is not None and self._bstep[0] == B:
+            return self._bstep[1]
+        fn = functools.partial(add_grain_frame_fast, height=self.height,
+                               width=self.width, bs=self.regs.bs,
+                               csubx=self.regs.csubx, csuby=self.regs.csuby)
+        step = jax.jit(jax.vmap(
+            fn, in_axes=(0, 0, 0, 0, 0) + (None,) * 9))
+        self._bstep = (B, step)
+        return step
+
+    def run_file(self, src: str, dst: str, frames: int = 0, odepth: int = 0,
+                 batch: int = 4) -> int:
+        """Batched frame loop over file paths: prefetching native reader,
+        async writer, one device dispatch per batch.  Bit-identical output
+        to :meth:`run`; batches never straddle a config-switch POC."""
+        import jax.numpy as jnp
+        try:
+            from .utils import native_io
+            use_native = native_io.available()
+        except Exception:
+            use_native = False
+
+        if batch <= 1 or self.engine != "fast":
+            with open(src, "rb") as fs, open(dst, "wb") as fd:
+                return self.run(fs, fd, frames=frames, odepth=odepth)
+
+        odepth = odepth or self.depth
+        assert odepth in (8, 10) and odepth <= self.depth
+        fbytes = yuv.frame_bytes(self.width, self.height, self.depth, self.fmt)
+        obytes = yuv.frame_bytes(self.width, self.height, odepth, self.fmt)
+        R, C = self._R, self._C
+        bhc, bwc = 16 // self.regs.csuby, 16 // self.regs.csubx
+        pad_needed = (self.height % 16 or self.width % 16
+                      or (self.height // self.regs.csuby) % bhc
+                      or (self.width // self.regs.csubx) % bwc)
+
+        if use_native:
+            from .utils.native_io import FrameReader, FrameWriter
+            reader = FrameReader(src, fbytes, nbuf=max(4, batch),
+                                 seek_frames=self.seek)
+            writer = FrameWriter(dst, obytes, nbuf=max(4, batch))
+        else:
+            fsrc = open(src, "rb")
+            fdst = open(dst, "wb")
+            yuv.skip_frames(fsrc, self.seek, self.width, self.height,
+                            self.depth, self.fmt)
+
+        def read_raw():
+            if use_native:
+                return reader.next()
+            buf = np.fromfile(fsrc, dtype=np.uint8, count=fbytes)
+            return buf if buf.size == fbytes else None
+
+        step = self._batched_step(batch)
+        n = 0
+        eof = False
+        pending = None  # (device_out, count, shapes)
+
+        def flush(p):
+            yo, uo, vo, count = p
+            yo = np.asarray(yo)[:, :self.height, :self.width]
+            ch = self.height // (2 if self.fmt < yuv.YUV_422 else 1)
+            cw = self.width // (2 if self.fmt < yuv.YUV_444 else 1)
+            uo = np.asarray(uo)[:, :ch, :cw]
+            vo = np.asarray(vo)[:, :ch, :cw]
+            for i in range(count):
+                planes = (yo[i], uo[i], vo[i])
+                if odepth < self.depth:
+                    planes = yuv.to_8bit(planes)
+                if use_native:
+                    buf = np.concatenate([np.ascontiguousarray(p).view(np.uint8).reshape(-1)
+                                          for p in planes])
+                    writer.put(buf)
+                else:
+                    yuv.write_frame(fdst, planes, odepth)
+
+        try:
+            while not eof and (frames == 0 or n < frames):
+                self.maybe_switch_config(n)
+                # frames until the next config switch
+                limit = batch
+                if self.icfg < len(self.configs):
+                    limit = min(limit,
+                                max(1, self.configs[self.icfg][0]
+                                    - (n + self.seek)))
+                if frames:
+                    limit = min(limit, frames - n)
+                raws = []
+                for _ in range(limit):
+                    raw = read_raw()
+                    if raw is None:
+                        eof = True
+                        break
+                    raws.append(raw)
+                if not raws:
+                    break
+                count = len(raws)
+                while len(raws) < batch:      # pad to the compiled batch size
+                    raws.append(raws[-1])
+                ys, us, vs = [], [], []
+                for raw in raws:
+                    y, u, v = self._split_frame(raw)
+                    if pad_needed:
+                        y = yuv.pad_plane(y, R * 16, C * 16)
+                        u = yuv.pad_plane(u, R * bhc, C * bwc)
+                        v = yuv.pad_plane(v, R * bhc, C * bwc)
+                    ys.append(y)
+                    us.append(u)
+                    vs.append(v)
+                bases = np.empty(batch, np.uint32)
+                bases_up = np.empty(batch, np.uint32)
+                for i in range(batch):
+                    b, bu = self.frame_bases(n + min(i, count - 1))
+                    bases[i], bases_up[i] = b, bu
+                ft = self._fast_tables()
+                out = step(jnp.asarray(np.stack(ys)), jnp.asarray(np.stack(us)),
+                           jnp.asarray(np.stack(vs)), jnp.asarray(bases),
+                           jnp.asarray(bases_up),
+                           jnp.asarray(ft["win_luma"]),
+                           jnp.asarray(ft["win_chroma"]),
+                           jnp.asarray(ft["seg_starts"]),
+                           jnp.asarray(ft["seg_deltas"]), ft["scale_shift"],
+                           ft["y_min"], ft["y_max"], ft["c_min"], ft["c_max"])
+                if pending is not None:
+                    flush(pending)
+                pending = (*out, count)
+                n += count
+            if pending is not None:
+                flush(pending)
+        finally:
+            if use_native:
+                reader.close()
+                writer.close()
+            else:
+                fsrc.close()
+                fdst.close()
+        return n
