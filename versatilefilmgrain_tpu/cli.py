@@ -61,6 +61,8 @@ def main(argv=None) -> int:
     frames, seek = 0, 0
     seed, gain = 0, 100
     batch = 4
+    profile_dir = None
+    verbose = False
     configs: list[str] = []
     src = dst = None
     err = False
@@ -104,6 +106,10 @@ def main(argv=None) -> int:
             gain = _atoi(val())
         elif pl == "--batch":  # extension: frames per device dispatch
             batch = max(1, _atoi(val()))
+        elif pl == "--profile":  # extension: jax profiler trace directory
+            profile_dir = val()
+        elif pl in ("-v", "--verbose"):  # extension: per-stage timings
+            verbose = True
         elif pl == "--help":
             print(help_text(name))
             return 1
@@ -138,7 +144,8 @@ def main(argv=None) -> int:
         print(help_text(name))
         return 1
     try:
-        pipe.run_file(src, dst, frames=frames, odepth=odepth, batch=batch)
+        pipe.run_file(src, dst, frames=frames, odepth=odepth, batch=batch,
+                      profile_dir=profile_dir, verbose=verbose)
     except OSError as e:
         print(str(e) + "\n")
         print(help_text(name))

@@ -327,10 +327,15 @@ class GrainPipeline:
         return step
 
     def run_file(self, src: str, dst: str, frames: int = 0, odepth: int = 0,
-                 batch: int = 4) -> int:
+                 batch: int = 4, profile_dir: str | None = None,
+                 verbose: bool = False) -> int:
         """Batched frame loop over file paths: prefetching native reader,
         async writer, one device dispatch per batch.  Bit-identical output
-        to :meth:`run`; batches never straddle a config-switch POC."""
+        to :meth:`run`; batches never straddle a config-switch POC.
+
+        ``profile_dir`` captures a jax.profiler trace of the steady-state
+        loop; ``verbose`` prints per-stage wall-clock to stderr."""
+        import time as _time
         import jax.numpy as jnp
         try:
             from .utils import native_io
@@ -373,6 +378,13 @@ class GrainPipeline:
         n = 0
         eof = False
         pending = None  # (device_out, count, shapes)
+        prof = None
+        if profile_dir:
+            import jax
+            prof = jax.profiler.trace(profile_dir)
+            prof.__enter__()
+        t_read = t_step = t_write = 0.0
+        t_start = _time.perf_counter()
 
         def flush(p):
             yo, uo, vo, count = p
@@ -404,12 +416,14 @@ class GrainPipeline:
                 if frames:
                     limit = min(limit, frames - n)
                 raws = []
+                t0 = _time.perf_counter()
                 for _ in range(limit):
                     raw = read_raw()
                     if raw is None:
                         eof = True
                         break
                     raws.append(raw)
+                t_read += _time.perf_counter() - t0
                 if not raws:
                     break
                 count = len(raws)
@@ -431,6 +445,7 @@ class GrainPipeline:
                     b, bu = self.frame_bases(n + min(i, count - 1))
                     bases[i], bases_up[i] = b, bu
                 ft = self._fast_tables()
+                t0 = _time.perf_counter()
                 out = step(jnp.asarray(np.stack(ys)), jnp.asarray(np.stack(us)),
                            jnp.asarray(np.stack(vs)), jnp.asarray(bases),
                            jnp.asarray(bases_up),
@@ -439,13 +454,27 @@ class GrainPipeline:
                            jnp.asarray(ft["seg_starts"]),
                            jnp.asarray(ft["seg_deltas"]), ft["scale_shift"],
                            ft["y_min"], ft["y_max"], ft["c_min"], ft["c_max"])
+                t_step += _time.perf_counter() - t0
+                t0 = _time.perf_counter()
                 if pending is not None:
                     flush(pending)
+                t_write += _time.perf_counter() - t0
                 pending = (*out, count)
                 n += count
+            t0 = _time.perf_counter()
             if pending is not None:
                 flush(pending)
+            t_write += _time.perf_counter() - t0
         finally:
+            if prof is not None:
+                prof.__exit__(None, None, None)
+            if verbose:
+                import sys as _sys
+                total = _time.perf_counter() - t_start
+                fps = n / total if total > 0 else 0.0
+                print(f"[vfg-tpu] {n} frames in {total:.3f}s ({fps:.1f} fps) "
+                      f"| read {t_read:.3f}s dispatch {t_step:.3f}s "
+                      f"drain+write {t_write:.3f}s", file=_sys.stderr)
             if use_native:
                 reader.close()
                 writer.close()
