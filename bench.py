@@ -64,7 +64,7 @@ def bench_tpu() -> float:
     import jax
     import jax.numpy as jnp
     from versatilefilmgrain_tpu.parallel import mesh as pmesh
-    from versatilefilmgrain_tpu.ops.grain_fast import fast_tables
+    from versatilefilmgrain_tpu.ops.grain_fast import fast_args, fast_tables
     from __graft_entry__ import _default_regs, _frame_bases
 
     R, C = H // 16, W // 16
@@ -81,11 +81,7 @@ def bench_tpu() -> float:
                                  dtype=np.uint16))
     u = jnp.asarray(rng.integers(0, 1024, (F, R * 8, C * 8), dtype=np.uint16))
     v = jnp.asarray(rng.integers(0, 1024, (F, R * 8, C * 8), dtype=np.uint16))
-    cargs = (jnp.asarray(bases), jnp.asarray(bases_up),
-             jnp.asarray(ft["win_luma"]), jnp.asarray(ft["win_chroma"]),
-             jnp.asarray(ft["seg_starts"]), jnp.asarray(ft["seg_deltas"]),
-             ft["scale_shift"], ft["y_min"], ft["y_max"], ft["c_min"],
-             ft["c_max"])
+    cargs = (jnp.asarray(bases), jnp.asarray(bases_up)) + fast_args(ft)
 
     jax.block_until_ready(step(y, u, v, *cargs))  # compile + warm
     iters = 8

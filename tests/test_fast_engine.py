@@ -11,7 +11,7 @@ from versatilefilmgrain_tpu.models import fw
 from versatilefilmgrain_tpu.models.hw import HwRegs
 from versatilefilmgrain_tpu.ops import lfsr
 from versatilefilmgrain_tpu.ops.grain_fast import (add_grain_frame_fast_jit,
-                                                   fast_tables)
+                                                   fast_args, fast_tables)
 from versatilefilmgrain_tpu.ops.grain_jnp import add_grain_frame_jit
 
 
@@ -89,11 +89,7 @@ def test_fast_matches_ref(kind, depth, csub):
         ft = fast_tables(regs)
         fast = add_grain_frame_fast_jit(
             jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-            jnp.uint32(base), jnp.uint32(base_up),
-            jnp.asarray(ft["win_luma"]), jnp.asarray(ft["win_chroma"]),
-            jnp.asarray(ft["seg_starts"]), jnp.asarray(ft["seg_deltas"]),
-            ft["scale_shift"], ft["y_min"], ft["y_max"], ft["c_min"],
-            ft["c_max"],
+            jnp.uint32(base), jnp.uint32(base_up), *fast_args(ft),
             height=H, width=W, bs=bs, csubx=csubx, csuby=csuby)
         for p, (r, q) in enumerate(zip(ref, fast)):
             assert np.array_equal(np.asarray(r), np.asarray(q)), \

@@ -67,14 +67,11 @@ def test_mesh_invariance(shape):
 
     m = pmesh.make_mesh(nd, nt)
     step = pmesh.make_grain_step(m, height=H, width=W, bs=2, csubx=2, csuby=2)
-    from versatilefilmgrain_tpu.ops.grain_fast import fast_tables
+    from versatilefilmgrain_tpu.ops.grain_fast import fast_args, fast_tables
     ft = fast_tables(regs)
     yo, uo, vo = step(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                       jnp.asarray(bases), jnp.asarray(bases_up),
-                      jnp.asarray(ft["win_luma"]), jnp.asarray(ft["win_chroma"]),
-                      jnp.asarray(ft["seg_starts"]),
-                      jnp.asarray(ft["seg_deltas"]), ft["scale_shift"],
-                      ft["y_min"], ft["y_max"], ft["c_min"], ft["c_max"])
+                      *fast_args(ft))
     for f in range(F):
         assert np.array_equal(np.asarray(yo)[f], ref[f][0]), f"Y frame {f}"
         assert np.array_equal(np.asarray(uo)[f], ref[f][1]), f"U frame {f}"

@@ -38,12 +38,16 @@ _PACK_SHIFT = 9  # scale in bits 0..8, pattern index in bits 9..12
 
 
 def build_window_table(pattern_class: np.ndarray, bh: int, bw: int,
-                       n_ov: int, ymul: int, xmul: int) -> np.ndarray:
-    """(156, 8, bh+n_ov, bw) int8: every possible offset window per pattern.
+                       n_ov: int, ymul: int, xmul: int):
+    """All possible offset windows per pattern, split into two tables:
 
-    Rows [0, bh) serve the block itself (pattern rows oy+j, vfgs_hw.c:218);
-    rows [bh, bh+n_ov) serve the *next* block row's vertical overlap
-    (pattern rows oy+16/suby+j, vfgs_hw.c:206,225).
+    * ``cur`` (156, 8, bh, bw): rows serving the block itself (pattern rows
+      oy+j, vfgs_hw.c:218);
+    * ``up`` (156, 8, n_ov, bw): rows serving the *next* block row's vertical
+      overlap (pattern rows oy+16/suby+j, vfgs_hw.c:206,225).
+
+    Splitting keeps the per-block overlap fetch to the n_ov rows actually
+    consumed instead of a full window.
     """
     rows = bh + n_ov
     win = np.zeros((12 * 13, 8, rows, bw), dtype=np.int8)
@@ -52,7 +56,27 @@ def build_window_table(pattern_class: np.ndarray, bh: int, bw: int,
         for b in range(13):
             ox = b * xmul
             win[a * 13 + b] = pattern_class[:, oy:oy + rows, ox:ox + bw]
-    return win
+    return np.ascontiguousarray(win[:, :, :bh]), \
+        np.ascontiguousarray(win[:, :, bh:])
+
+
+def _gather_windows(win, widx):
+    """Fetch per-block windows directly in block-row-major layout.
+
+    win: (156, 8, rows, bw); widx: (R, C) int32.
+    Returns (R, 8, rows, C, bw) -- the gather's dimension numbers place the
+    (R, C) batch dims around the window dims, so no materialized transpose
+    is needed downstream.
+    """
+    import jax
+
+    _, p8, rows, bw = win.shape
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 4), collapsed_slice_dims=(0,),
+        start_index_map=(0,))
+    return jax.lax.gather(
+        win, widx[..., None].astype(jnp.int32), dnums, (1, p8, rows, bw),
+        mode=jax.lax.GatherScatterMode.CLIP)
 
 
 def build_segments(slut: np.ndarray, plut: np.ndarray):
@@ -79,11 +103,11 @@ def build_segments(slut: np.ndarray, plut: np.ndarray):
 def fast_tables(regs) -> dict:
     """Host-side packaging of the register file for the fast engine."""
     csubx, csuby = regs.csubx, regs.csuby
-    win_l = build_window_table(regs.pattern[0], 16, 16, 2, 4, 4)
+    win_l, win_l_up = build_window_table(regs.pattern[0], 16, 16, 2, 4, 4)
     bh_c, bw_c = 16 // csuby, 16 // csubx
     n_ov_c = 1 if csuby == 2 else 2
-    win_c = build_window_table(regs.pattern[1], bh_c, bw_c, n_ov_c,
-                               4 // csuby, 4 // csubx)
+    win_c, win_c_up = build_window_table(regs.pattern[1], bh_c, bw_c, n_ov_c,
+                                         4 // csuby, 4 // csubx)
     seg = [build_segments(regs.slut[c], regs.plut[c]) for c in range(3)]
     S = max(len(s) for s, _ in seg)
     S = -(-S // 8) * 8  # pad to a multiple of 8 to bucket recompiles
@@ -93,7 +117,8 @@ def fast_tables(regs) -> dict:
         starts[c, :len(s)] = s
         deltas[c, :len(d)] = d
     return dict(
-        win_luma=win_l, win_chroma=win_c,
+        win_luma=win_l, win_luma_up=win_l_up,
+        win_chroma=win_c, win_chroma_up=win_c_up,
         seg_starts=starts, seg_deltas=deltas,
         scale_shift=np.int32(regs.scale_shift),
         y_min=np.int32(regs.y_min), y_max=np.int32(regs.y_max),
@@ -102,22 +127,25 @@ def fast_tables(regs) -> dict:
 
 
 def _mux8(strip, pi):
-    """Per-pixel select among 8 pattern planes: strip (8, ...), pi (...)."""
+    """Per-pixel select among 8 pattern planes.
+
+    strip: (R, 8, rows, C, bw); pi: (R, rows, C, bw).  3-bit binary mux.
+    """
     b0 = (pi & 1) == 1
     b1 = (pi & 2) == 2
     b2 = (pi & 4) == 4
-    a = jnp.where(b0, strip[1], strip[0])
-    b = jnp.where(b0, strip[3], strip[2])
-    c = jnp.where(b0, strip[5], strip[4])
-    d = jnp.where(b0, strip[7], strip[6])
+    a = jnp.where(b0, strip[:, 1], strip[:, 0])
+    b = jnp.where(b0, strip[:, 3], strip[:, 2])
+    c = jnp.where(b0, strip[:, 5], strip[:, 4])
+    d = jnp.where(b0, strip[:, 7], strip[:, 6])
     e = jnp.where(b1, b, a)
     f = jnp.where(b1, d, c)
     return jnp.where(b2, f, e)
 
 
-def plane_grain_fast(pix, states, states_up, win, seg_starts, seg_deltas,
-                     scale_shift, imin, imax, ov_mask=None, *, c: int,
-                     csubx: int, csuby: int, bs: int):
+def plane_grain_fast(pix, states, states_up, win_cur, win_up, seg_starts,
+                     seg_deltas, scale_shift, imin, imax, ov_mask=None, *,
+                     c: int, csubx: int, csuby: int, bs: int):
     """Bit-exact fast-path version of ops.grain_jnp.plane_grain."""
     Hp, Wp = pix.shape
     subx = csubx if c else 1
@@ -146,15 +174,12 @@ def plane_grain_fast(pix, states, states_up, win, seg_starts, seg_deltas,
     sc = acc & ((1 << _PACK_SHIFT) - 1)
     pi4 = (acc >> _PACK_SHIFT).reshape(R, bh, C, bw)
 
-    # Window fetch: one coarse take per block; (R*C, 8, bh+n_ov, bw).
-    wc = jnp.take(win, widx.reshape(-1), axis=0)
-    wu = jnp.take(win, widx_up.reshape(-1), axis=0)
-    # (R, C, 8, rows, bw) -> (8, R, rows, C, bw)
-    wc = jnp.transpose(wc.reshape(R, C, 8, bh + n_ov, bw), (2, 0, 3, 1, 4))
-    wu = jnp.transpose(wu.reshape(R, C, 8, bh + n_ov, bw), (2, 0, 3, 1, 4))
+    # Window fetch in block-row-major layout; no transpose materialized.
+    wc = _gather_windows(win_cur, widx)            # (R, 8, bh, C, bw)
+    wu = _gather_windows(win_up, widx_up)          # (R, 8, n_ov, C, bw)
 
-    P = _mux8(wc[:, :, :bh], pi4).astype(jnp.int32) * s[:, None, :, None]
-    Pup = _mux8(wu[:, :, bh:bh + n_ov], pi4[:, :n_ov]).astype(jnp.int32) \
+    P = _mux8(wc, pi4).astype(jnp.int32) * s[:, None, :, None]
+    Pup = _mux8(wu, pi4[:, :n_ov]).astype(jnp.int32) \
         * su[:, None, :, None]
 
     blend = _round_shift(P[:, :n_ov] * oc1 + Pup * oc2, 5)
@@ -179,10 +204,11 @@ def plane_grain_fast(pix, states, states_up, win, seg_starts, seg_deltas,
     return jnp.clip(pix + g, imin << bs, imax << bs).astype(in_dtype)
 
 
-def add_grain_frame_fast(y, u, v, base, base_up, win_luma, win_chroma,
-                         seg_starts, seg_deltas, scale_shift,
-                         y_min, y_max, c_min, c_max, *, height: int,
-                         width: int, bs: int, csubx: int, csuby: int):
+def add_grain_frame_fast(y, u, v, base, base_up, win_luma, win_luma_up,
+                         win_chroma, win_chroma_up, seg_starts, seg_deltas,
+                         scale_shift, y_min, y_max, c_min, c_max, *,
+                         height: int, width: int, bs: int, csubx: int,
+                         csuby: int):
     """Fast-path whole-frame grain (same lattice semantics as add_grain_frame)."""
     R = -(-height // 16)
     C = -(-width // 16)
@@ -195,19 +221,33 @@ def add_grain_frame_fast(y, u, v, base, base_up, win_luma, win_chroma,
         imin = y_min if c == 0 else c_min
         imax = y_max if c == 0 else c_max
         out.append(plane_grain_fast(
-            plane, states, states_up, win_luma if c == 0 else win_chroma,
+            plane, states, states_up,
+            win_luma if c == 0 else win_chroma,
+            win_luma_up if c == 0 else win_chroma_up,
             seg_starts[c], seg_deltas[c], scale_shift, imin, imax,
             c=c, csubx=csubx, csuby=csuby, bs=bs))
     return tuple(out)
 
 
+FAST_TABLE_KEYS = ("win_luma", "win_luma_up", "win_chroma", "win_chroma_up",
+                   "seg_starts", "seg_deltas")
+FAST_SCALAR_KEYS = ("scale_shift", "y_min", "y_max", "c_min", "c_max")
+
+
+def fast_args(ft: dict):
+    """Flatten a fast_tables() dict into positional engine args."""
+    return tuple(jnp.asarray(ft[k]) for k in FAST_TABLE_KEYS) \
+        + tuple(ft[k] for k in FAST_SCALAR_KEYS)
+
+
 @functools.partial(
     jax.jit, static_argnames=("height", "width", "bs", "csubx", "csuby"))
-def add_grain_frame_fast_jit(y, u, v, base, base_up, win_luma, win_chroma,
-                             seg_starts, seg_deltas, scale_shift,
-                             y_min, y_max, c_min, c_max,
-                             *, height, width, bs, csubx, csuby):
+def add_grain_frame_fast_jit(y, u, v, base, base_up, win_luma, win_luma_up,
+                             win_chroma, win_chroma_up, seg_starts,
+                             seg_deltas, scale_shift, y_min, y_max, c_min,
+                             c_max, *, height, width, bs, csubx, csuby):
     return add_grain_frame_fast(
-        y, u, v, base, base_up, win_luma, win_chroma, seg_starts, seg_deltas,
-        scale_shift, y_min, y_max, c_min, c_max,
+        y, u, v, base, base_up, win_luma, win_luma_up, win_chroma,
+        win_chroma_up, seg_starts, seg_deltas, scale_shift, y_min, y_max,
+        c_min, c_max,
         height=height, width=width, bs=bs, csubx=csubx, csuby=csuby)

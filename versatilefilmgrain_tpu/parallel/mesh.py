@@ -81,22 +81,23 @@ def make_grain_step(mesh: Mesh, *, height: int, width: int, bs: int,
     rep = P()
 
     if engine == "fast":
-        def _step(y, u, v, states, states_up, ov_mask, win_luma, win_chroma,
-                  seg_starts, seg_deltas, scale_shift, y_min, y_max,
-                  c_min, c_max):
+        def _step(y, u, v, states, states_up, ov_mask, win_luma, win_luma_up,
+                  win_chroma, win_chroma_up, seg_starts, seg_deltas,
+                  scale_shift, y_min, y_max, c_min, c_max):
             def one(c, plane, imin, imax):
                 fn = functools.partial(
                     plane_grain_fast, c=c, csubx=csubx, csuby=csuby, bs=bs)
                 return jax.vmap(
                     lambda p, s, su: fn(p, s, su,
                                         win_luma if c == 0 else win_chroma,
+                                        win_luma_up if c == 0 else win_chroma_up,
                                         seg_starts[c], seg_deltas[c],
                                         scale_shift, imin, imax,
                                         ov_mask))(plane, states, states_up)
 
             return (one(0, y, y_min, y_max), one(1, u, c_min, c_max),
                     one(2, v, c_min, c_max))
-        n_tables = 4
+        n_tables = 6
     else:
         def _step(y, u, v, states, states_up, ov_mask, pattern, sluts, pluts,
                   scale_shift, y_min, y_max, c_min, c_max):

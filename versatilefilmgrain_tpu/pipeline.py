@@ -248,15 +248,11 @@ class GrainPipeline:
         vp = yuv.pad_plane(v, R * bhc, C * bwc)
         base, base_up = self.frame_bases(n)
         if self.engine == "fast":
-            from .ops.grain_fast import add_grain_frame_fast_jit, fast_tables
+            from .ops.grain_fast import add_grain_frame_fast_jit, fast_args
             ft = self._fast_tables()
             yo, uo, vo = add_grain_frame_fast_jit(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                jnp.uint32(base), jnp.uint32(base_up),
-                jnp.asarray(ft["win_luma"]), jnp.asarray(ft["win_chroma"]),
-                jnp.asarray(ft["seg_starts"]), jnp.asarray(ft["seg_deltas"]),
-                ft["scale_shift"], ft["y_min"], ft["y_max"],
-                ft["c_min"], ft["c_max"],
+                jnp.uint32(base), jnp.uint32(base_up), *fast_args(ft),
                 height=self.height, width=self.width, bs=regs.bs,
                 csubx=regs.csubx, csuby=regs.csuby)
         else:
@@ -322,7 +318,7 @@ class GrainPipeline:
                                width=self.width, bs=self.regs.bs,
                                csubx=self.regs.csubx, csuby=self.regs.csuby)
         step = jax.jit(jax.vmap(
-            fn, in_axes=(0, 0, 0, 0, 0) + (None,) * 9))
+            fn, in_axes=(0, 0, 0, 0, 0) + (None,) * 11))
         self._bstep = (B, step)
         return step
 
@@ -444,16 +440,12 @@ class GrainPipeline:
                 for i in range(batch):
                     b, bu = self.frame_bases(n + min(i, count - 1))
                     bases[i], bases_up[i] = b, bu
+                from .ops.grain_fast import fast_args
                 ft = self._fast_tables()
                 t0 = _time.perf_counter()
                 out = step(jnp.asarray(np.stack(ys)), jnp.asarray(np.stack(us)),
                            jnp.asarray(np.stack(vs)), jnp.asarray(bases),
-                           jnp.asarray(bases_up),
-                           jnp.asarray(ft["win_luma"]),
-                           jnp.asarray(ft["win_chroma"]),
-                           jnp.asarray(ft["seg_starts"]),
-                           jnp.asarray(ft["seg_deltas"]), ft["scale_shift"],
-                           ft["y_min"], ft["y_max"], ft["c_min"], ft["c_max"])
+                           jnp.asarray(bases_up), *fast_args(ft))
                 t_step += _time.perf_counter() - t0
                 t0 = _time.perf_counter()
                 if pending is not None:
