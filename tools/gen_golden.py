@@ -49,6 +49,10 @@ def build_cases():
     add("gain200", args=["-g", "200"])
     add("seed", args=["-r", "987654321"])
     add("seek2", frames=2, in_frames=5, args=["-s", "2"])
+    # seek past a config POC: stale config pops collapse to frame 0
+    add("seek_past_poc", frames=2, in_frames=5, args=[
+        "-s", "2", "-c", f"1:{CFG}/fgs_afgs1_test1.cfg",
+        "-c", f"4:{CFG}/fgs_sei_ff_test2.cfg"])
     add("odd_dims", w=250, h=150, args=[])
     add("multi_cfg_poc", frames=5, args=[
         "-c", f"0:{CFG}/fgs_sei.cfg",
