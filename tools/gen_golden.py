@@ -39,6 +39,13 @@ def build_cases():
     for f in sorted(os.listdir(CFG)):
         add(f"cfg_{f}", args=["-c", os.path.join(CFG, f)])
 
+    # Our own extra vectors for paths the reference suite leaves untested
+    # (8-pattern cap overflow, fill_model_array defaults, overlapping
+    # intervals, alternative AR coefficients).
+    extra = os.path.join(REPO, "tests", "golden", "cfg_extra")
+    for f in sorted(os.listdir(extra)):
+        add(f"extra_{f}", args=["-c", os.path.join(extra, f)])
+
     # Default config paths.
     add("default_10b", args=[])
     add("default_8b", depth=8, args=[])

@@ -146,6 +146,9 @@ def main(argv=None) -> int:
     try:
         pipe.run_file(src, dst, frames=frames, odepth=odepth, batch=batch,
                       profile_dir=profile_dir, verbose=verbose)
+    except ConfigError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
     except OSError as e:
         print(str(e) + "\n")
         print(help_text(name))

@@ -20,8 +20,6 @@ from __future__ import annotations
 import argparse
 import sys
 
-import numpy as np
-
 from .model import FgcSeiDesign
 from .preview import read_yuv_frame, yuv_to_rgb
 from ..utils import yuv as yuvio

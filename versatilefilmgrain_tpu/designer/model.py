@@ -7,8 +7,6 @@ round-tripping compatible with both our parser and the reference binary.
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..models import config as cfgmod
 from ..utils import parsers
 

@@ -11,6 +11,8 @@ any shape (one call per (block-row, block-col) lattice).
 
 from __future__ import annotations
 
+import numpy as np
+
 
 def block_offsets(val, c: int, csubx: int, csuby: int):
     """Return ``(sign, ox, oy)`` for component ``c`` from state word(s) ``val``.
@@ -32,8 +34,6 @@ def block_offsets(val, c: int, csubx: int, csuby: int):
         xbf = (val >> 20) & 0x3FF
         ybf = (val >> 4) & 0x3FF
         xmul, ymul = 4 // csubx, 4 // csuby
-
-    import numpy as np
 
     s = 1 - 2 * sign_bit.astype(np.int32)
     ox = (((xbf * 13) >> 10) * xmul).astype(np.int32)

@@ -23,7 +23,6 @@ Two deployment shapes:
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 
 from .mesh import make_mesh

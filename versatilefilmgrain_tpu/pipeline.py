@@ -21,6 +21,12 @@ from .utils.parsers import ConfigError, _check
 MAX_CONFIGS = 64
 
 
+class FatalConfigError(ConfigError):
+    """Init-time register errors: the reference aborts here (assert,
+    vfgs_hw.c:348); we terminate the run with an error instead of silently
+    continuing on the previous config."""
+
+
 def adjust_chroma_cfg(sei, fmt: int) -> None:
     """Chroma model-value conversion for 4:2:2/4:2:0 (vfgs_main.c:208-230).
 
@@ -183,11 +189,17 @@ class GrainPipeline:
     # ------------------------------------------------------------------
 
     def _init_fw(self, frame: int) -> None:
-        if self.afgs1.num_y_points:
-            fw.init_afgs1(self.afgs1, self.regs)
-            self.epoch = frame  # init_afgs1 reseeds (vfgs_fw.c:672)
-        else:
-            fw.init_sei(self.sei, self.regs)
+        # The reference aborts on an out-of-range scale shift (assert,
+        # vfgs_hw.c:348, e.g. --gain driving log2_scale_factor out of [2,8));
+        # we fail with a config error instead.
+        try:
+            if self.afgs1.num_y_points:
+                fw.init_afgs1(self.afgs1, self.regs)
+                self.epoch = frame  # init_afgs1 reseeds (vfgs_fw.c:672)
+            else:
+                fw.init_sei(self.sei, self.regs)
+        except ValueError as e:
+            raise FatalConfigError(str(e))
         self._cfg_generation += 1
 
     def _fast_tables(self):
@@ -212,9 +224,11 @@ class GrainPipeline:
                and n + self.seek >= self.configs[self.icfg][0]):
             try:
                 self.pop_cfg(n)
+            except FatalConfigError:
+                raise
             except ConfigError as e:
                 # The reference keeps processing with the previous config on a
-                # failed pop (vfgs_main.c:773-776).
+                # failed read/check pop (vfgs_main.c:773-776).
                 import sys
                 print(f"Error: {e}", file=sys.stderr)
                 break
