@@ -135,8 +135,37 @@ def make_ar_pattern(buf0, size: int, ar_coef, nb_coef: int, shift: int,
                 coef[3 + j][3 + i] = ar[k]
                 k += 1
 
+    buf = _ar_fill(coef, rnd, width, height, scale, shift, cx, buf0,
+                   subx, suby)
+
+    p = np.zeros(64 * 64, dtype=np.int8)
+    for y in range(64 // suby):
+        row = width * (3 + 6 // suby + y) + 3 + 6 // subx
+        p[size * y:size * y + 64 // subx] = buf[row:row + 64 // subx]
+    return p, buf
+
+
+def _ar_fill(coef, seed, width, height, scale, shift, cx, buf0, subx, suby):
+    """Run the raster AR recurrence; native fast path with python fallback."""
+    lib = _argen_lib()
+    if lib is not None:
+        coef_arr = np.array(coef, dtype=np.int32).reshape(-1)
+        buf = np.zeros(width * height, dtype=np.int8)
+        b0 = None if buf0 is None else np.ascontiguousarray(buf0, np.int8)
+        import ctypes
+        lib.vfgs_ar_fill(
+            coef_arr.ctypes.data_as(ctypes.c_void_p),
+            GAUSSIAN_LUT.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_uint32(seed & 0xFFFFFFFF),
+            width, height, scale, shift, cx,
+            None if b0 is None else b0.ctypes.data_as(ctypes.c_void_p),
+            0 if b0 is None else b0.size, subx, suby,
+            buf.ctypes.data_as(ctypes.c_void_p))
+        return buf
+
     gauss = GAUSSIAN_LUT.astype(np.int64)
     rbias = 1 << (shift - 1)
+    rnd = seed
     buf = [0] * (width * height)
     for y in range(height):
         for x in range(width):
@@ -163,9 +192,30 @@ def make_ar_pattern(buf0, size: int, ar_coef, nb_coef: int, shift: int,
             g += (int(gauss[rnd & 2047]) + rbias) >> shift
             rnd = lfsr_step(rnd)
             buf[width * y + x] = max(-127, min(127, g))
+    return np.array(buf, dtype=np.int8)
 
-    p = np.zeros(64 * 64, dtype=np.int8)
-    for y in range(64 // suby):
-        row = width * (3 + 6 // suby + y) + 3 + 6 // subx
-        p[size * y:size * y + 64 // subx] = buf[row:row + 64 // subx]
-    return p, np.array(buf, dtype=np.int8)
+
+_ARGEN = None
+_ARGEN_TRIED = False
+
+
+def _argen_lib():
+    global _ARGEN, _ARGEN_TRIED
+    if not _ARGEN_TRIED:
+        _ARGEN_TRIED = True
+        try:
+            from ..utils.native_io import build_native
+            import ctypes
+            lib = build_native("argen")
+            if lib is not None:
+                lib.vfgs_ar_fill.restype = ctypes.c_uint32
+                lib.vfgs_ar_fill.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_void_p]
+            _ARGEN = lib
+        except Exception:
+            _ARGEN = None
+    return _ARGEN

@@ -53,13 +53,16 @@ def make_mesh(n_data: int, n_tile: int, devices=None) -> Mesh:
 
 
 def default_mesh_shape(n_devices: int, rows: int) -> tuple[int, int]:
-    """Pick (data, tile) factors: prefer tiling rows as long as it divides."""
-    tile = 1
-    for t in range(min(n_devices, rows), 0, -1):
-        if n_devices % t == 0 and rows % t == 0:
-            tile = t
-            break
-    return n_devices // tile, tile
+    """Pick (data, tile) factors.
+
+    Frames (data) are embarrassingly parallel so they get the larger share;
+    tile only takes what divides the block-row count, keeping the mesh 2-D
+    when possible (tile sharding is what cuts single-frame latency)."""
+    best = (n_devices, 1)
+    for t in range(2, min(n_devices, rows) + 1):
+        if n_devices % t == 0 and rows % t == 0 and t <= n_devices // t:
+            best = (n_devices // t, t)
+    return best
 
 
 def make_grain_step(mesh: Mesh, *, height: int, width: int, bs: int,

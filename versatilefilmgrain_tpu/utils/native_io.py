@@ -23,6 +23,25 @@ _lib_lock = threading.Lock()
 _lib_failed = False
 
 
+def build_native(name: str):
+    """Compile native/<name>.c to build/lib<name>.so (cached) and load it.
+
+    Returns the CDLL or None if the toolchain/compile is unavailable.
+    """
+    src = os.path.join(_REPO, "native", f"{name}.c")
+    so = os.path.join(_REPO, "build", f"lib{name}.so")
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            os.makedirs(os.path.dirname(so), exist_ok=True)
+            subprocess.run(
+                ["gcc", "-O3", "-shared", "-fPIC", "-pthread", "-o", so, src],
+                check=True, capture_output=True)
+        return ctypes.CDLL(so)
+    except Exception:
+        return None
+
+
 def _load():
     global _lib, _lib_failed
     with _lib_lock:
