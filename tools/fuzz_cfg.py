@@ -1,0 +1,188 @@
+"""Differential fuzzing: random film-grain configs + CLI options through the
+reference binary and our CLI, byte-comparing outputs (and exit codes for
+invalid configs).
+
+Usage:  python3 tools/fuzz_cfg.py [n_cases] [seed]
+
+Every case writes a random config file, runs both implementations over a
+deterministic small YUV input, and compares.  Divergences are saved under
+/tmp/vfg_fuzz/fail_* for inspection.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+from gen_input import make_input_yuv  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+VFGS = "/tmp/refbuild/vfgs"
+WORK = "/tmp/vfg_fuzz"
+
+
+def gen_sei_ff(rng: random.Random) -> str:
+    nint = rng.randint(1, 10)
+    bounds = sorted(rng.sample(range(0, 256), nint * 2))
+    lower = [bounds[2 * i] for i in range(nint)]
+    upper = [bounds[2 * i + 1] for i in range(nint)]
+    nmv = rng.choice([1, 2, 3])
+    lines = [
+        "SEIFGCModelId                          : 0",
+        f"SEIFGCLog2ScaleFactor                  : {rng.randint(2, 7)}",
+        "SEIFGCCompModelPresentComp0            : 1",
+    ]
+    chroma = rng.random() < 0.7
+    lines += [f"SEIFGCCompModelPresentComp1            : {int(chroma)}",
+              f"SEIFGCCompModelPresentComp2            : {int(chroma)}"]
+    comps = [0] + ([1, 2] if chroma else [])
+    for c in comps:
+        vals = []
+        for _ in range(nint):
+            row = [rng.randint(0, 255)]
+            if nmv >= 2:
+                row.append(rng.randint(2, 14))
+            if nmv >= 3:
+                row.append(rng.randint(2, 14))
+            vals.extend(row)
+        lines += [
+            f"SEIFGCNumIntensityIntervalMinus1Comp{c}  : {nint - 1}",
+            f"SEIFGCNumModelValuesMinus1Comp{c}        : {nmv - 1}",
+            f"SEIFGCIntensityIntervalLowerBoundComp{c} : "
+            + " ".join(map(str, lower)),
+            f"SEIFGCIntensityIntervalUpperBoundComp{c} : "
+            + " ".join(map(str, upper)),
+            f"SEIFGCCompModelValuesComp{c}             : "
+            + " ".join(map(str, vals)),
+        ]
+    return "\n".join(lines) + "\n"
+
+
+def gen_sei_ar(rng: random.Random) -> str:
+    nint = rng.randint(1, 4)
+    bounds = sorted(rng.sample(range(0, 256), nint * 2))
+    vals = []
+    for _ in range(nint):
+        vals.extend([rng.randint(0, 255), rng.randint(-120, 120), 0,
+                     rng.randint(-120, 120), rng.randint(0, 64),
+                     rng.randint(-100, 100)])
+    return "\n".join([
+        "SEIFGCModelId                          : 1",
+        f"SEIFGCLog2ScaleFactor                  : {rng.randint(5, 7)}",
+        "SEIFGCCompModelPresentComp0            : 1",
+        "SEIFGCCompModelPresentComp1            : 0",
+        "SEIFGCCompModelPresentComp2            : 0",
+        f"SEIFGCNumIntensityIntervalMinus1Comp0  : {nint - 1}",
+        "SEIFGCNumModelValuesMinus1Comp0        : 5",
+        "SEIFGCIntensityIntervalLowerBoundComp0 : "
+        + " ".join(str(bounds[2 * i]) for i in range(nint)),
+        "SEIFGCIntensityIntervalUpperBoundComp0 : "
+        + " ".join(str(bounds[2 * i + 1]) for i in range(nint)),
+        "SEIFGCCompModelValuesComp0             : " + " ".join(map(str, vals)),
+    ]) + "\n"
+
+
+def gen_afgs1(rng: random.Random) -> str:
+    lag = rng.randint(1, 3)
+    n = 2 * lag * (lag + 1)
+    ny = rng.randint(1, 14)
+    yvals = sorted(rng.sample(range(0, 256), ny))
+    lines = [
+        f"AFGS1GrainSeed             : {rng.randint(0, 65535)}",
+        f"AFGS1NumYPoints            : {ny}",
+        "AFGS1PointYValues          : " + " ".join(map(str, yvals)),
+        "AFGS1PointYScaling         : "
+        + " ".join(str(rng.randint(0, 255)) for _ in range(ny)),
+        f"AFGS1GrainScaling          : {rng.randint(8, 11)}",
+        f"AFGS1ARCoeffLag            : {lag}",
+        "AFGS1ARCoeffsY             : "
+        + " ".join(str(rng.randint(-60, 60)) for _ in range(n)),
+        f"AFGS1ARCoeffShift          : {rng.randint(6, 9)}",
+        f"AFGS1GrainScaleShift       : {rng.randint(0, 3)}",
+        f"AFGS1ClipToRestrictedRange : {rng.randint(0, 1)}",
+    ]
+    chroma = rng.random() < 0.5
+    csfl = rng.random() < 0.3
+    lines.append(f"AFGS1ChromaScalingFromLuma : {int(csfl and not chroma)}")
+    if chroma:
+        for name in ("Cb", "Cr"):
+            nc = rng.randint(1, 10)
+            cvals = sorted(rng.sample(range(0, 256), nc))
+            lines += [
+                f"AFGS1Num{name}Points           : {nc}",
+                f"AFGS1Point{name}Values         : " + " ".join(map(str, cvals)),
+                f"AFGS1Point{name}Scaling        : "
+                + " ".join(str(rng.randint(0, 255)) for _ in range(nc)),
+                f"AFGS1ARCoeffs{name}            : "
+                + " ".join(str(rng.randint(-60, 60)) for _ in range(n + 1)),
+            ]
+    return "\n".join(lines) + "\n"
+
+
+def run_case(i: int, rng: random.Random, inp: str) -> str | None:
+    kind = rng.choice(["ff", "ff", "ar", "afgs1", "afgs1"])
+    cfg_text = {"ff": gen_sei_ff, "ar": gen_sei_ar, "afgs1": gen_afgs1}[kind](rng)
+    cfg = os.path.join(WORK, f"case{i}.cfg")
+    with open(cfg, "w") as f:
+        f.write(cfg_text)
+    args = ["-w", "192", "-h", "160", "-b", rng.choice(["8", "10"]),
+            "-n", "2", "-c", cfg]
+    if rng.random() < 0.3:
+        args += ["-g", str(rng.randint(40, 200))]
+    if rng.random() < 0.3:
+        args += ["-r", str(rng.randint(1, 2**30))]
+    inp_use = inp + (".8" if args[5] == "8" else ".10")
+    ref_out = os.path.join(WORK, f"ref{i}.yuv")
+    our_out = os.path.join(WORK, f"our{i}.yuv")
+    r1 = subprocess.run([VFGS] + args + [inp_use, ref_out],
+                        capture_output=True, timeout=60)
+    r2 = subprocess.run(
+        [sys.executable, "-m", "versatilefilmgrain_tpu.cli"] + args
+        + [inp_use, our_out],
+        capture_output=True, timeout=600, cwd=REPO,
+        env={**os.environ, "JAX_PLATFORM_NAME": "cpu"})
+    fail = None
+    if (r1.returncode == 0) != (r2.returncode == 0):
+        fail = (f"rc mismatch ref={r1.returncode} ours={r2.returncode} "
+                f"{(r1.stdout + r1.stderr)[-120:]} / "
+                f"{(r2.stdout + r2.stderr)[-120:]}")
+    elif r1.returncode == 0:
+        a = open(ref_out, "rb").read()
+        b = open(our_out, "rb").read()
+        if a != b:
+            fail = f"output mismatch ({len(a)} vs {len(b)} bytes)"
+    if fail:
+        keep = os.path.join(WORK, f"fail_{i}.cfg")
+        os.rename(cfg, keep)
+        return f"case {i} [{kind}] {' '.join(args)}: {fail} (cfg: {keep})"
+    for p in (cfg, ref_out, our_out):
+        if os.path.exists(p):
+            os.unlink(p)
+    return None
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    os.makedirs(WORK, exist_ok=True)
+    rng = random.Random(seed)
+    inp = os.path.join(WORK, "fuzz_in.yuv")
+    make_input_yuv(inp + ".10", 192, 160, 10, 0, 2)
+    make_input_yuv(inp + ".8", 192, 160, 8, 0, 2)
+    fails = 0
+    for i in range(n):
+        msg = run_case(i, rng, inp)
+        if msg:
+            fails += 1
+            print("FAIL", msg)
+        else:
+            print(f"ok {i}", end="\r")
+    print(f"\n{n} cases, {fails} divergences")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -139,11 +139,9 @@ def main(argv=None) -> int:
         print(f"Error: {e}", file=sys.stderr)
         return 1
 
-    if not os.path.isfile(src):
-        print(f"Can not open file {src}\n")
-        print(help_text(name))
-        return 1
     try:
+        # File open errors surface from run_file with the reference's
+        # wording; FIFOs and /dev/stdin work like the reference's fopen().
         pipe.run_file(src, dst, frames=frames, odepth=odepth, batch=batch,
                       profile_dir=profile_dir, verbose=verbose)
     except ConfigError as e:

@@ -30,8 +30,11 @@ _COMP_NAMES = ("Y", "Cb", "Cr")
 class DesignerApp:
     def __init__(self, path: str, width: int, height: int, depth: int,
                  fmt: int, seed: int = 0):
+        import os
+
         import matplotlib
-        matplotlib.use("TkAgg")
+        # Agg override keeps the app drivable in headless tests/CI.
+        matplotlib.use(os.environ.get("VFG_MPL_BACKEND", "TkAgg"))
         import matplotlib.pyplot as plt
         from matplotlib.widgets import Slider
 

@@ -105,32 +105,42 @@ def check_cfg(sei, afgs1, fmt: int, depth: int) -> None:
 
 
 def apply_gain(gain: int, sei, afgs1) -> None:
-    """Global grain-strength rescale (vfgs_main.c:561-593). Mutates in place."""
+    """Global grain-strength rescale (vfgs_main.c:561-593). Mutates in place.
+
+    ``gain`` is unsigned in the reference (so a negative CLI value wraps to a
+    huge number and the halving loop still terminates), and the scale
+    multiplications are unsigned 32-bit; both are replicated here."""
+    gain = int(gain) & 0xFFFFFFFF
     if gain == 100:
         return
+
+    def umul_div(v: int) -> int:
+        # (int)v * (unsigned)gain / 100 in C: unsigned 32-bit wrap + udiv.
+        return ((int(v) * gain) & 0xFFFFFFFF) // 100
+
     if afgs1.num_y_points:
         while gain > 100:
-            afgs1.grain_scaling -= 1
+            afgs1.grain_scaling = (afgs1.grain_scaling - 1) & 0xFF
             gain //= 2
         while gain and gain < 50:
-            afgs1.grain_scaling += 1
+            afgs1.grain_scaling = (afgs1.grain_scaling + 1) & 0xFF
             gain *= 2
         for arr, n in ((afgs1.point_y_scaling, afgs1.num_y_points),
                        (afgs1.point_cb_scaling, afgs1.num_cb_points),
                        (afgs1.point_cr_scaling, afgs1.num_cr_points)):
             for i in range(n):
-                arr[i] = np.uint8((int(arr[i]) * gain // 100) & 0xFF)
+                arr[i] = np.uint8(umul_div(arr[i]) & 0xFF)
     else:
         while gain > 100:
-            sei.log2_scale_factor -= 1
+            sei.log2_scale_factor = (sei.log2_scale_factor - 1) & 0xFF
             gain //= 2
         while gain and gain < 50:
-            sei.log2_scale_factor += 1
+            sei.log2_scale_factor = (sei.log2_scale_factor + 1) & 0xFF
             gain *= 2
         for c in range(3):
             if sei.comp_model_present_flag[c]:
                 for i in range(sei.num_intensity_intervals[c]):
-                    v = int(sei.comp_model_value[c][i][0]) * gain // 100
+                    v = umul_div(sei.comp_model_value[c][i][0])
                     sei.comp_model_value[c][i][0] = np.int16(
                         ((v + 0x8000) & 0xFFFF) - 0x8000)
 
@@ -226,9 +236,13 @@ class GrainPipeline:
                 self.pop_cfg(n)
             except FatalConfigError:
                 raise
-            except ConfigError as e:
+            except (ConfigError, OSError, ValueError, IndexError,
+                    UnicodeDecodeError) as e:
                 # The reference keeps processing with the previous config on a
-                # failed read/check pop (vfgs_main.c:773-776).
+                # failed read/check pop (vfgs_main.c:773-776); malformed
+                # inputs that would be undefined behaviour in C (e.g. the
+                # dump parser's component counter running past 2) are
+                # treated the same way.
                 import sys
                 print(f"Error: {e}", file=sys.stderr)
                 break
@@ -238,7 +252,7 @@ class GrainPipeline:
     def frame_bases(self, n: int) -> tuple[int, int]:
         """LFSR lattice bases for frame n (see ops/lfsr.py)."""
         R, C = self._R, self._C
-        e0 = (n - self.epoch) * (R - 1) * C
+        e0 = lfsr.frame_base_exponent(n - self.epoch, R, C)
         base = int(lfsr.advance(np.uint32(self.regs.seed_state), e0))
         base_up = (int(lfsr.advance(np.uint32(self.regs.seed_state), e0 - C))
                    if e0 > 0 else base)
@@ -353,8 +367,20 @@ class GrainPipeline:
         except Exception:
             use_native = False
 
+        def open_src():
+            try:
+                return open(src, "rb")
+            except OSError:
+                raise OSError(f"Can not open file {src}")
+
+        def open_dst():
+            try:
+                return open(dst, "wb")
+            except OSError:
+                raise OSError(f"Can not create file {dst}")
+
         if batch <= 1 or self.engine != "fast":
-            with open(src, "rb") as fs, open(dst, "wb") as fd:
+            with open_src() as fs, open_dst() as fd:
                 return self.run(fs, fd, frames=frames, odepth=odepth)
 
         odepth = odepth or self.depth
@@ -373,8 +399,8 @@ class GrainPipeline:
                                  seek_frames=self.seek)
             writer = FrameWriter(dst, obytes, nbuf=max(4, batch))
         else:
-            fsrc = open(src, "rb")
-            fdst = open(dst, "wb")
+            fsrc = open_src()
+            fdst = open_dst()
             yuv.skip_frames(fsrc, self.seek, self.width, self.height,
                             self.depth, self.fmt)
 
@@ -399,8 +425,7 @@ class GrainPipeline:
         def flush(p):
             yo, uo, vo, count = p
             yo = np.asarray(yo)[:, :self.height, :self.width]
-            ch = self.height // (2 if self.fmt < yuv.YUV_422 else 1)
-            cw = self.width // (2 if self.fmt < yuv.YUV_444 else 1)
+            cw, ch = yuv.chroma_dims(self.width, self.height, self.fmt)
             uo = np.asarray(uo)[:, :ch, :cw]
             vo = np.asarray(vo)[:, :ch, :cw]
             for i in range(count):

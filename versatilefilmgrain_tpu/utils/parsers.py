@@ -23,6 +23,12 @@ def _check(cond, msg):
         raise ConfigError(msg)
 
 
+def _isdig(ch: str) -> bool:
+    """ASCII digit test (str.isdigit also accepts Unicode digits that int()
+    rejects; C isdigit is ASCII-only)."""
+    return "0" <= ch <= "9"
+
+
 def atoi(s: str) -> int:
     """C atoi: skip whitespace, optional sign, leading digits; 0 otherwise."""
     i, n = 0, len(s)
@@ -32,7 +38,7 @@ def atoi(s: str) -> int:
     if j < n and s[j] in "+-":
         j += 1
     k = j
-    while k < n and s[k].isdigit():
+    while k < n and _isdig(s[k]):
         k += 1
     if k == j:
         return 0
@@ -47,10 +53,10 @@ def read_array_u8(dst, s: str) -> None:
     """vfgs_main.c:147-158: space-separated unsigned ints; stops at any
     non-digit (including a sign)."""
     i, k, n = 0, 0, len(s)
-    while i < n and s[i].isdigit():
+    while i < n and _isdig(s[i]):
         dst[k] = np.uint8(atoi(s[i:]) & 0xFF)
         k += 1
-        while i < n and s[i].isdigit():
+        while i < n and _isdig(s[i]):
             i += 1
         while i < n and _isblank(s[i]):
             i += 1
@@ -59,11 +65,11 @@ def read_array_u8(dst, s: str) -> None:
 def read_array_i16(dst, s: str) -> None:
     """vfgs_main.c:134-145: signed ints; sign chars also act as separators."""
     i, k, n = 0, 0, len(s)
-    while i < n and (s[i].isdigit() or s[i] in "+-"):
+    while i < n and (_isdig(s[i]) or s[i] in "+-"):
         v = atoi(s[i:])
         dst[k] = np.int16(((v + 0x8000) & 0xFFFF) - 0x8000)
         k += 1
-        while i < n and (s[i].isdigit() or s[i] in "+-"):
+        while i < n and (_isdig(s[i]) or s[i] in "+-"):
             i += 1
         while i < n and _isblank(s[i]):
             i += 1
@@ -92,11 +98,11 @@ def read_model_array(rows, s: str, n: int, model_id: int,
                      log2_scale_factor: int) -> None:
     """vfgs_main.c:171-191: read groups of n values per intensity interval."""
     i, r, slen = 0, 0, len(s)
-    while i < slen and (s[i].isdigit() or s[i] in "+-"):
+    while i < slen and (_isdig(s[i]) or s[i] in "+-"):
         for m in range(n):
             v = atoi(s[i:])
             rows[r][m] = np.int16(((v + 0x8000) & 0xFFFF) - 0x8000)
-            while i < slen and (s[i].isdigit() or s[i] in "+-"):
+            while i < slen and (_isdig(s[i]) or s[i] in "+-"):
                 i += 1
             while i < slen and _isblank(s[i]):
                 i += 1
@@ -169,7 +175,7 @@ def read_afgs1_tbl(lines, afgs1) -> None:
 def read_cfg(path: str, sei, afgs1) -> None:
     """Read a config file, overlaying onto sei/afgs1 (vfgs_main.c:436-559)."""
     try:
-        with open(path, "rt") as f:
+        with open(path, "rt", encoding="latin-1") as f:
             lines = f.readlines()
     except OSError:
         raise ConfigError(f"Can not open file {path}")
