@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 H, W = 2160, 3840
-FRAMES_BATCH = 4
+FRAMES_BATCH = 8  # measured sweet spot on v5e (amortizes dispatch + lattice)
 # vfgs fps measured on this machine (gcc -O2 -mavx2, single thread, tmpfs IO);
 # used only if /root/reference is unavailable for a live measurement.
 STORED_BASELINE_FPS = None
@@ -61,10 +61,12 @@ def bench_reference() -> float | None:
 
 
 def bench_tpu() -> float:
+    import functools
+
     import jax
     import jax.numpy as jnp
-    from versatilefilmgrain_tpu.parallel import mesh as pmesh
-    from versatilefilmgrain_tpu.ops.grain_fast import fast_args, fast_tables
+    from versatilefilmgrain_tpu.ops.grain_fast import (add_grain_frame_fast,
+                                                       fast_args, fast_tables)
     from __graft_entry__ import _default_regs, _frame_bases
 
     R, C = H // 16, W // 16
@@ -73,8 +75,10 @@ def bench_tpu() -> float:
     F = FRAMES_BATCH
     bases, bases_up = _frame_bases(regs, F, R, C)
 
-    m = pmesh.make_mesh(1, 1, jax.devices()[:1])
-    step = pmesh.make_grain_step(m, height=H, width=W, bs=2, csubx=2, csuby=2)
+    # Same batched single-chip step as pipeline.run_file.
+    fn = functools.partial(add_grain_frame_fast, height=H, width=W, bs=2,
+                           csubx=2, csuby=2)
+    step = jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, 0, 0) + (None,) * 11))
 
     rng = np.random.default_rng(0)
     y = jnp.asarray(rng.integers(0, 1024, (F, R * 16, C * 16),
