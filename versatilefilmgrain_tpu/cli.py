@@ -62,6 +62,7 @@ def main(argv=None) -> int:
     seed, gain = 0, 100
     batch = 4
     profile_dir = None
+    grain_offset = 0
     verbose = False
     configs: list[str] = []
     src = dst = None
@@ -108,6 +109,8 @@ def main(argv=None) -> int:
             batch = max(1, _atoi(val()))
         elif pl == "--profile":  # extension: jax profiler trace directory
             profile_dir = val()
+        elif pl == "--grain-offset":  # extension: global grain-state offset
+            grain_offset = _atoi(val())  # (use with -s for exact sharding)
         elif pl in ("-v", "--verbose"):  # extension: per-stage timings
             verbose = True
         elif pl == "--help":
@@ -134,7 +137,8 @@ def main(argv=None) -> int:
 
     try:
         pipe = GrainPipeline(width, height, depth, fmt, gain=gain, seed=seed,
-                             seek=seek, configs=configs)
+                             seek=seek, configs=configs,
+                             grain_offset=grain_offset)
     except ConfigError as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1

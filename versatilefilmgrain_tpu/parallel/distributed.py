@@ -13,12 +13,15 @@ Two deployment shapes:
   ``frame_index % num_processes == h`` (or contiguous shards via
   :func:`frame_shard`); the per-frame lattice bases make any assignment
   bit-exact.
-* **Embarrassingly parallel**: independent single-host jobs over disjoint
-  frame ranges using ``GrainPipeline(seek=...)`` -- the reference's own seek
-  semantics (vfgs_main.c:768) already define restart-at-frame-N recovery:
-  grain state is recomputed from the seed in closed form, so a crashed shard
-  is re-run from its start frame with identical output (checkpoint/resume
-  needs no state files at all).
+* **Embarrassingly parallel**: independent jobs over disjoint frame ranges
+  using ``GrainPipeline(seek=N, grain_offset=N)`` (CLI: ``-s N
+  --grain-offset N``).  ``grain_offset`` computes the state lattice at the
+  *global* frame index (the reference's ``-s`` only seeks the input,
+  restarting grain state from the seed -- replicated when grain_offset=0),
+  so shard outputs concatenate bit-identically to a single full run, AFGS1
+  mid-stream reseeds included (tests/test_shard_recovery.py).  A crashed
+  shard is simply re-run from its start frame: checkpoint/resume needs no
+  state files at all.
 """
 
 from __future__ import annotations

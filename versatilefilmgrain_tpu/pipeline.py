@@ -164,7 +164,7 @@ class GrainPipeline:
 
     def __init__(self, width: int, height: int, depth: int, fmt: int,
                  gain: int = 100, seed: int = 0, seek: int = 0,
-                 configs=(), engine: str = "fast"):
+                 configs=(), engine: str = "fast", grain_offset: int = 0):
         if depth not in (8, 10):
             raise ConfigError("input depth must be 8 or 10")
         if width < 128 or height < 128:
@@ -180,6 +180,13 @@ class GrainPipeline:
                f"too many configurations (maximum is {MAX_CONFIGS})")
         self.icfg = 0
         self.epoch = 0  # frame index of last reseed
+        # Extension beyond the reference: offset the grain-state lattice so a
+        # run over frames [grain_offset, ...) is bit-identical to those frames
+        # of a full seek-0 run (the reference's -s restarts grain state from
+        # the seed, which we replicate when grain_offset == 0).  This is what
+        # makes disjoint frame shards concatenate exactly (multi-host data
+        # parallelism, stateless crash recovery).
+        self.grain_offset = grain_offset
         self.engine = engine
         self._ft_cache = None  # (generation, tables)
         self._cfg_generation = 0
@@ -221,13 +228,19 @@ class GrainPipeline:
     def pop_cfg(self, frame: int) -> None:
         """Re-read/validate/adjust/re-init for the next scheduled config."""
         _check(self.icfg < len(self.configs), "No configuration to pop")
-        _, filename = self.configs[self.icfg]
+        poc, filename = self.configs[self.icfg]
         parsers.read_cfg(filename, self.sei, self.afgs1)
         check_cfg(self.sei, self.afgs1, self.fmt, self.depth)
         adjust_chroma_cfg(self.sei, self.fmt)
         apply_gain(self.gain, self.sei, self.afgs1)
         self.icfg += 1
-        self._init_fw(frame)
+        if self.grain_offset:
+            # Sharded mode: an AFGS1 reseed epoch is the config's global POC
+            # (where the full seek-0 run would have popped it), keeping shard
+            # output identical to the full run.
+            self._init_fw(poc)
+        else:
+            self._init_fw(frame)
 
     def maybe_switch_config(self, n: int) -> None:
         while (self.icfg < len(self.configs)
@@ -252,7 +265,8 @@ class GrainPipeline:
     def frame_bases(self, n: int) -> tuple[int, int]:
         """LFSR lattice bases for frame n (see ops/lfsr.py)."""
         R, C = self._R, self._C
-        e0 = lfsr.frame_base_exponent(n - self.epoch, R, C)
+        e0 = lfsr.frame_base_exponent(n + self.grain_offset - self.epoch,
+                                      R, C)
         base = int(lfsr.advance(np.uint32(self.regs.seed_state), e0))
         base_up = (int(lfsr.advance(np.uint32(self.regs.seed_state), e0 - C))
                    if e0 > 0 else base)
