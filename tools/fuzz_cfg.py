@@ -122,18 +122,61 @@ def gen_afgs1(rng: random.Random) -> str:
     return "\n".join(lines) + "\n"
 
 
+def gen_tbl(rng: random.Random) -> str:
+    lag = rng.randint(1, 3)
+    n = 2 * lag * (lag + 1)
+    ny = rng.randint(1, 14)
+    yv = sorted(rng.sample(range(0, 256), ny))
+
+    def pts(cnt):
+        vs = sorted(rng.sample(range(0, 256), cnt))
+        return " ".join(f"{v} {rng.randint(0, 255)}" for v in vs)
+
+    ncb, ncr = rng.randint(0, 10), rng.randint(0, 10)
+    return "\n".join([
+        "filmgrn1",
+        f"E 0 9223372036854775807 1 {rng.randint(0, 65535)} 1",
+        f"p {lag} {rng.randint(6, 9)} {rng.randint(0, 3)} {rng.randint(8, 11)}"
+        f" {0} {rng.randint(0, 1)} 128 192 256 128 192 256",
+        f"sY {ny} " + pts(ny),
+        f"sCb {ncb} " + pts(ncb),
+        f"sCr {ncr} " + pts(ncr),
+        "cY " + " ".join(str(rng.randint(-60, 60)) for _ in range(n)),
+        "cCb " + " ".join(str(rng.randint(-60, 60)) for _ in range(n + 1)),
+        "cCr " + " ".join(str(rng.randint(-60, 60)) for _ in range(n + 1)),
+    ]) + "\n"
+
+
 def run_case(i: int, rng: random.Random, inp: str) -> str | None:
-    kind = rng.choice(["ff", "ff", "ar", "afgs1", "afgs1"])
-    cfg_text = {"ff": gen_sei_ff, "ar": gen_sei_ar, "afgs1": gen_afgs1}[kind](rng)
-    cfg = os.path.join(WORK, f"case{i}.cfg")
-    with open(cfg, "w") as f:
-        f.write(cfg_text)
+    kind = rng.choice(["ff", "ff", "ar", "afgs1", "afgs1", "tbl", "multi"])
+    gens = {"ff": gen_sei_ff, "ar": gen_sei_ar, "afgs1": gen_afgs1,
+            "tbl": gen_tbl}
     args = ["-w", "192", "-h", "160", "-b", rng.choice(["8", "10"]),
-            "-n", "2", "-c", cfg]
+            "-n", "3"]
+    cfgs = []
+    if kind == "multi":
+        pocs = sorted(rng.sample(range(0, 3), rng.randint(1, 3)))
+        for m, poc in enumerate(pocs):
+            sub = rng.choice(["ff", "ar", "afgs1", "tbl"])
+            cfg = os.path.join(WORK, f"case{i}_{m}.cfg")
+            with open(cfg, "w") as f:
+                f.write(gens[sub](rng))
+            cfgs.append(cfg)
+            args += ["-c", f"{poc}:{cfg}"]
+    else:
+        cfg = os.path.join(WORK, f"case{i}.cfg")
+        with open(cfg, "w") as f:
+            f.write(gens[kind](rng))
+        cfgs.append(cfg)
+        args += ["-c", cfg]
     if rng.random() < 0.3:
         args += ["-g", str(rng.randint(40, 200))]
     if rng.random() < 0.3:
         args += ["-r", str(rng.randint(1, 2**30))]
+    if rng.random() < 0.2:
+        args += ["-s", "1"]
+    if rng.random() < 0.2 and "-b" not in args[:0] and args[5] == "10":
+        args += ["--outdepth", "8"]
     inp_use = inp + (".8" if args[5] == "8" else ".10")
     ref_out = os.path.join(WORK, f"ref{i}.yuv")
     our_out = os.path.join(WORK, f"our{i}.yuv")
