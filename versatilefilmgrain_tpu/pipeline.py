@@ -164,7 +164,13 @@ class GrainPipeline:
 
     def __init__(self, width: int, height: int, depth: int, fmt: int,
                  gain: int = 100, seed: int = 0, seek: int = 0,
-                 configs=(), engine: str = "fast", grain_offset: int = 0):
+                 configs=(), engine: str = "fast", grain_offset: int = 0,
+                 initial_sei=None, initial_afgs1=None):
+        """``initial_sei``/``initial_afgs1`` replace the built-in default
+        config (vfgs_main.c:69-125).  The CLI always starts from the default
+        like the reference (which therefore cannot run 4:2:2/4:4:4 at all --
+        its chroma-bearing default fails validation); library users can pass
+        a luma-only config here to process those formats."""
         if depth not in (8, 10):
             raise ConfigError("input depth must be 8 or 10")
         if width < 128 or height < 128:
@@ -172,8 +178,9 @@ class GrainPipeline:
         self.width, self.height = width, height
         self.depth, self.fmt = depth, fmt
         self.gain, self.seek = gain, seek
-        self.sei = cfgmod.default_sei()
-        self.afgs1 = cfgmod.default_afgs1()
+        self.sei = initial_sei if initial_sei is not None else cfgmod.default_sei()
+        self.afgs1 = (initial_afgs1 if initial_afgs1 is not None
+                      else cfgmod.default_afgs1())
         self.regs = HwRegs()
         self.configs = [parse_cfg_param(p) for p in configs]
         _check(len(self.configs) <= MAX_CONFIGS,
