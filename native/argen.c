@@ -30,8 +30,10 @@ uint32_t vfgs_ar_fill(const int32_t *coef, const int8_t *gauss, uint32_t seed,
                       int8_t *buf)
 {
     uint32_t rnd = seed;
-    const int32_t rbias = 1 << (shift - 1);
-    const int32_t sbias = 1 << (scale - 1);
+    /* scale/shift of 0 is UB in the C model (round macro shifts by -1);
+     * substitute a deterministic zero bias, matching the python fallback. */
+    const int32_t rbias = shift >= 1 ? 1 << (shift - 1) : 0;
+    const int32_t sbias = scale >= 1 ? 1 << (scale - 1) : 0;
     for (int32_t y = 0; y < height; y++) {
         for (int32_t x = 0; x < width; x++) {
             int32_t g = 0;

@@ -67,6 +67,17 @@ def test_key_switch_component(app):
     app._on_key(types.SimpleNamespace(key="1"))
 
 
+def test_drag_upper_bound_at_255(app):
+    """The last interval's upper edge (255) must be grabbable (uint8
+    overflow regression: np.uint8(255)+1 wrapped to 0)."""
+    c = app.comp = 0
+    k = app.design.num_intervals(c) - 1
+    assert app.design.upper[c][k] == 255
+    app._on_press(_ev(app.ax_edit, 255.5, 50))
+    assert app._drag == ("upper", c, k)
+    app._on_release(_ev(app.ax_edit, 255.5, 50))
+
+
 def test_slider_gain(app):
     app._on_gain(60)
     assert app.design.gain == 60

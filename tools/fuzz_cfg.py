@@ -147,11 +147,13 @@ def gen_tbl(rng: random.Random) -> str:
     ]) + "\n"
 
 
-def run_case(i: int, rng: random.Random, inp: str) -> str | None:
+def run_case(i: int, rng: random.Random, inp: str,
+             dims: tuple[int, int] | None = None) -> str | None:
     kind = rng.choice(["ff", "ff", "ar", "afgs1", "afgs1", "tbl", "multi"])
     gens = {"ff": gen_sei_ff, "ar": gen_sei_ar, "afgs1": gen_afgs1,
             "tbl": gen_tbl}
-    args = ["-w", "192", "-h", "160", "-b", rng.choice(["8", "10"]),
+    w, h = dims or (192, 160)
+    args = ["-w", str(w), "-h", str(h), "-b", rng.choice(["8", "10"]),
             "-n", "3"]
     cfgs = []
     if kind == "multi":
@@ -175,7 +177,7 @@ def run_case(i: int, rng: random.Random, inp: str) -> str | None:
         args += ["-r", str(rng.randint(1, 2**30))]
     if rng.random() < 0.2:
         args += ["-s", "1"]
-    if rng.random() < 0.2 and "-b" not in args[:0] and args[5] == "10":
+    if rng.random() < 0.2 and args[5] == "10":
         args += ["--outdepth", "8"]
     inp_use = inp + (".8" if args[5] == "8" else ".10")
     ref_out = os.path.join(WORK, f"ref{i}.yuv")
@@ -198,10 +200,9 @@ def run_case(i: int, rng: random.Random, inp: str) -> str | None:
         if a != b:
             fail = f"output mismatch ({len(a)} vs {len(b)} bytes)"
     if fail:
-        keep = os.path.join(WORK, f"fail_{i}.cfg")
-        os.rename(cfg, keep)
-        return f"case {i} [{kind}] {' '.join(args)}: {fail} (cfg: {keep})"
-    for p in (cfg, ref_out, our_out):
+        # keep every config of the case in place so the printed args replay
+        return f"case {i} [{kind}] {' '.join(args)}: {fail} (cfgs: {cfgs})"
+    for p in cfgs + [ref_out, our_out]:
         if os.path.exists(p):
             os.unlink(p)
     return None
@@ -210,14 +211,22 @@ def run_case(i: int, rng: random.Random, inp: str) -> str | None:
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 25
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    rand_dims = len(sys.argv) > 3 and sys.argv[3] == "--dims"
     os.makedirs(WORK, exist_ok=True)
     rng = random.Random(seed)
-    inp = os.path.join(WORK, "fuzz_in.yuv")
-    make_input_yuv(inp + ".10", 192, 160, 10, 0, 2)
-    make_input_yuv(inp + ".8", 192, 160, 8, 0, 2)
     fails = 0
     for i in range(n):
-        msg = run_case(i, rng, inp)
+        if rand_dims:
+            # random (even) dims incl. non-multiples of 16; w>128, h>=130
+            w = 2 * rng.randint(66, 180)
+            h = 2 * rng.randint(65, 140)
+        else:
+            w, h = 192, 160
+        inp = os.path.join(WORK, f"fuzz_in_{w}x{h}.yuv")
+        for d in (8, 10):
+            if not os.path.exists(f"{inp}.{d}"):
+                make_input_yuv(f"{inp}.{d}", w, h, d, 0, 4)
+        msg = run_case(i, rng, inp, dims=(w, h))
         if msg:
             fails += 1
             print("FAIL", msg)

@@ -23,9 +23,9 @@ class FgcSeiDesign:
         self.log2_scale_factor = sei.log2_scale_factor
         self.comp_model_present_flag = list(sei.comp_model_present_flag)
         self.num_model_values = list(sei.num_model_values)
-        self.lower = [list(sei.intensity_interval_lower_bound[c][:8])
+        self.lower = [list(map(int, sei.intensity_interval_lower_bound[c][:8]))
                       for c in range(3)]
-        self.upper = [list(sei.intensity_interval_upper_bound[c][:8])
+        self.upper = [list(map(int, sei.intensity_interval_upper_bound[c][:8]))
                       for c in range(3)]
         self.values = [[list(map(int, sei.comp_model_value[c][k][:3]))
                         for k in range(8)] for c in range(3)]

@@ -164,7 +164,10 @@ def _ar_fill(coef, seed, width, height, scale, shift, cx, buf0, subx, suby):
         return buf
 
     gauss = GAUSSIAN_LUT.astype(np.int64)
-    rbias = 1 << (shift - 1)
+    # scale/shift of 0 is UB in the C model; deterministic zero bias here,
+    # matching native/argen.c.
+    rbias = (1 << (shift - 1)) if shift >= 1 else 0
+    sbias = (1 << (scale - 1)) if scale >= 1 else 0
     rnd = seed
     buf = [0] * (width * height)
     for y in range(height):
@@ -188,7 +191,7 @@ def _ar_fill(coef, seed, width, height, scale, shift, cx, buf0, subx, suby):
                     if suby > 1:
                         z += b0(stride0 * (j + 1) + i) + b0(stride0 * (j + 1) + i + 1)
                     g += cx * ((z + (1 << (subx + suby - 3))) >> (subx + suby - 2))
-                g = (g + (1 << (scale - 1))) >> scale
+                g = (g + sbias) >> scale
             g += (int(gauss[rnd & 2047]) + rbias) >> shift
             rnd = lfsr_step(rnd)
             buf[width * y + x] = max(-127, min(127, g))

@@ -152,7 +152,7 @@ def parse_cfg_param(param: str):
     idx = param.find(":")
     if idx >= 0:
         head = param[:idx]
-        if head and all(ch.isdigit() for ch in head):
+        if head and all(parsers._isdig(ch) for ch in head):
             _check(len(head) < 16, "illegal configuration POC")
             poc = int(head)
             filename = param[idx + 1:]
@@ -175,6 +175,8 @@ class GrainPipeline:
             raise ConfigError("input depth must be 8 or 10")
         if width < 128 or height < 128:
             raise ConfigError("width and height must be at least 128")
+        if grain_offset < 0:
+            raise ConfigError("grain offset must be non-negative")
         self.width, self.height = width, height
         self.depth, self.fmt = depth, fmt
         self.gain, self.seek = gain, seek
@@ -428,8 +430,10 @@ class GrainPipeline:
         def read_raw():
             if use_native:
                 return reader.next()
-            buf = np.fromfile(fsrc, dtype=np.uint8, count=fbytes)
-            return buf if buf.size == fbytes else None
+            raw = fsrc.read(fbytes)
+            if len(raw) != fbytes:
+                return None
+            return np.frombuffer(raw, dtype=np.uint8)
 
         step = self._batched_step(batch)
         n = 0

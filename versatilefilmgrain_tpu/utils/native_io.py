@@ -15,28 +15,34 @@ import threading
 import numpy as np
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO, "native", "vfgsio.c")
-_SO = os.path.join(_REPO, "build", "libvfgsio.so")
 
 _lib = None
 _lib_lock = threading.Lock()
 _lib_failed = False
+_build_lock = threading.Lock()
 
 
 def build_native(name: str):
     """Compile native/<name>.c to build/lib<name>.so (cached) and load it.
 
     Returns the CDLL or None if the toolchain/compile is unavailable.
+    Staleness uses <= so equal mtimes (fresh checkouts) trigger a rebuild;
+    compiles to a temp name then renames so concurrent callers never load a
+    partially written library.
     """
     src = os.path.join(_REPO, "native", f"{name}.c")
     so = os.path.join(_REPO, "build", f"lib{name}.so")
     try:
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
-            os.makedirs(os.path.dirname(so), exist_ok=True)
-            subprocess.run(
-                ["gcc", "-O3", "-shared", "-fPIC", "-pthread", "-o", so, src],
-                check=True, capture_output=True)
+        with _build_lock:
+            if (not os.path.exists(so)
+                    or os.path.getmtime(so) <= os.path.getmtime(src)):
+                os.makedirs(os.path.dirname(so), exist_ok=True)
+                tmp = so + f".tmp{os.getpid()}"
+                subprocess.run(
+                    ["gcc", "-O3", "-shared", "-fPIC", "-pthread",
+                     "-o", tmp, src],
+                    check=True, capture_output=True)
+                os.replace(tmp, so)
         return ctypes.CDLL(so)
     except Exception:
         return None
@@ -48,14 +54,10 @@ def _load():
         if _lib is not None or _lib_failed:
             return _lib
         try:
-            if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-                os.makedirs(os.path.dirname(_SO), exist_ok=True)
-                subprocess.run(
-                    ["gcc", "-O3", "-shared", "-fPIC", "-pthread",
-                     "-o", _SO, _SRC],
-                    check=True, capture_output=True)
-            lib = ctypes.CDLL(_SO)
+            lib = build_native("vfgsio")
+            if lib is None:
+                _lib_failed = True
+                return None
             lib.vfgsio_reader_open.restype = ctypes.c_void_p
             lib.vfgsio_reader_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                                ctypes.c_int, ctypes.c_long]

@@ -8,6 +8,8 @@ straight into contiguous numpy arrays and let the engine do its own padding.
 
 from __future__ import annotations
 
+import io
+
 import numpy as np
 
 YUV_420 = 0
@@ -28,27 +30,39 @@ def frame_bytes(width: int, height: int, depth: int, fmt: int) -> int:
 
 
 def skip_frames(f, n: int, width: int, height: int, depth: int, fmt: int) -> None:
-    """yuv_skip (yuv.c:97-106)."""
-    f.seek(frame_bytes(width, height, depth, fmt) * n, 1)
+    """yuv_skip (yuv.c:97-106).
+
+    The reference ignores fseeko's return value, so seeking an unseekable
+    stream (FIFO/stdin) silently does nothing; replicate that."""
+    if not n:
+        return
+    try:
+        f.seek(frame_bytes(width, height, depth, fmt) * n, 1)
+    except (OSError, ValueError, io.UnsupportedOperation):
+        pass
 
 
 def read_frame(f, width: int, height: int, depth: int, fmt: int):
-    """Read one frame; returns (Y, U, V) uint8/uint16 arrays or None at EOF."""
+    """Read one frame; returns (Y, U, V) uint8/uint16 arrays or None at EOF.
+
+    Uses plain read() + frombuffer (np.fromfile needs a seekable stream and
+    fails on FIFOs/pipes, which the reference's fread handles fine)."""
     cw, ch = chroma_dims(width, height, fmt)
-    dt = np.uint8 if depth == 8 else np.dtype("<u2")
+    dt = np.dtype(np.uint8) if depth == 8 else np.dtype("<u2")
     planes = []
     for w, h in ((width, height), (cw, ch), (cw, ch)):
-        buf = np.fromfile(f, dtype=dt, count=w * h)
-        if buf.size != w * h:
+        want = w * h * dt.itemsize
+        raw = f.read(want)
+        if len(raw) != want:
             return None
-        planes.append(buf.reshape(h, w))
+        planes.append(np.frombuffer(raw, dtype=dt).reshape(h, w))
     return tuple(planes)
 
 
 def write_frame(f, planes, depth: int) -> None:
     dt = np.uint8 if depth == 8 else np.dtype("<u2")
     for p in planes:
-        np.ascontiguousarray(p, dtype=dt).tofile(f)
+        f.write(np.ascontiguousarray(p, dtype=dt).tobytes())
 
 
 def to_8bit(planes):
