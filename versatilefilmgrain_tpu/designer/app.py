@@ -29,7 +29,7 @@ _COMP_NAMES = ("Y", "Cb", "Cr")
 
 class DesignerApp:
     def __init__(self, path: str, width: int, height: int, depth: int,
-                 fmt: int, seed: int = 0):
+                 fmt: int, seed: int = 0, save_path: str = "design.cfg"):
         import os
 
         import matplotlib
@@ -43,6 +43,7 @@ class DesignerApp:
         self.width, self.height = width, height
         self.depth, self.fmt = depth, fmt
         self.seed = seed
+        self.save_path = save_path
         self.design = FgcSeiDesign()
         self.comp = 0
         self.frame = 0
@@ -112,7 +113,7 @@ class DesignerApp:
         ax.set_xlabel("intensity")
         ax.set_ylabel("scale")
         ax.set_title(f"component {_COMP_NAMES[c]}  "
-                     f"(keys: 1/2/3 switch, o original, q quit)")
+                     f"(1/2/3 comp, o orig, w write, r reset, q quit)")
         for k in range(d.num_intervals(c)):
             lo, hi = d.lower[c][k], d.upper[c][k]
             sc = d.values[c][k][0]
@@ -204,6 +205,12 @@ class DesignerApp:
         elif ev.key == "o":
             self.show_original = not self.show_original
             self.redraw()
+        elif ev.key == "w":          # write the current design
+            self.design.save(self.save_path)
+            print(f"[designer] saved {self.save_path}")
+        elif ev.key == "r":          # reset to the default design
+            self.design.reset()
+            self.redraw(regrain=True)
         elif ev.key == "q":
             self.plt.close(self.fig)
 
@@ -235,12 +242,14 @@ def main(argv=None) -> int:
     ap.add_argument("--format", default="420", choices=("420", "422", "444"))
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cfg", help="initial cfg file to load")
+    ap.add_argument("--save-to", default="design.cfg",
+                    help="cfg path written by the 'w' key")
     args = ap.parse_args(argv)
 
     fmt = {"420": yuvio.YUV_420, "422": yuvio.YUV_422,
            "444": yuvio.YUV_444}[args.format]
     app = DesignerApp(args.input, args.width, args.height, args.depth, fmt,
-                      seed=args.seed)
+                      seed=args.seed, save_path=args.save_to)
     if args.cfg:
         app.design.load(args.cfg)
         app.redraw(regrain=True)
