@@ -122,6 +122,33 @@ def gen_afgs1(rng: random.Random) -> str:
     return "\n".join(lines) + "\n"
 
 
+def gen_dump(rng: random.Random) -> str:
+    """VTM/HM SEI dump style with implicit c/i/j counters."""
+    nmv = rng.choice([1, 2, 3])
+    lines = ["fg_model_id: 0",
+             f"fg_log2_scale_factor: {rng.randint(2, 7)}"]
+    chroma = rng.random() < 0.6
+    flags = [1, int(chroma), int(chroma)]
+    for c in range(3):
+        lines.append(f"fg_comp_model_present_flag[c]: {flags[c]}")
+    for c in range(3):
+        if not flags[c]:
+            continue
+        nint = rng.randint(1, 5)
+        bounds = sorted(rng.sample(range(0, 256), nint * 2))
+        lines.append(f"fg_num_intensity_intervals_minus1[c]: {nint - 1}")
+        lines.append(f"fg_num_model_values_minus1[c]: {nmv - 1}")
+        for i in range(nint):
+            lines.append(f"fg_intensity_interval_lower_bound[c][i]: {bounds[2*i]}")
+            lines.append(f"fg_intensity_interval_upper_bound[c][i]: {bounds[2*i+1]}")
+            for j in range(nmv):
+                v = rng.randint(0, 255) if j == 0 else rng.randint(2, 14)
+                lines.append(f"fg_comp_model_value[c][i]: {v}")
+    lines.append("fg_characteristics_persistence_flag: 1")
+    lines.append("fg_ignored_tail_key: 123")  # after the stop marker
+    return "\n".join(lines) + "\n"
+
+
 def gen_tbl(rng: random.Random) -> str:
     lag = rng.randint(1, 3)
     n = 2 * lag * (lag + 1)
@@ -149,9 +176,10 @@ def gen_tbl(rng: random.Random) -> str:
 
 def run_case(i: int, rng: random.Random, inp: str,
              dims: tuple[int, int] | None = None) -> str | None:
-    kind = rng.choice(["ff", "ff", "ar", "afgs1", "afgs1", "tbl", "multi"])
+    kind = rng.choice(["ff", "ff", "ar", "afgs1", "afgs1", "tbl", "multi",
+                       "dump"])
     gens = {"ff": gen_sei_ff, "ar": gen_sei_ar, "afgs1": gen_afgs1,
-            "tbl": gen_tbl}
+            "tbl": gen_tbl, "dump": gen_dump}
     w, h = dims or (192, 160)
     args = ["-w", str(w), "-h", str(h), "-b", rng.choice(["8", "10"]),
             "-n", "3"]
