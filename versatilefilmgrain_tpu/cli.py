@@ -46,7 +46,13 @@ def help_text(name: str) -> str:
         "   -c,--cfg      [<x>:]<filename>  Read film grain configuration file, to be applied\n"
         "                                   from frame x (defaults to 0). Multiple -c are allowed.\n"
         "   -g,--gain     <value>           Apply a global scale (in percent) to grain strength\n"
-        "   --help                          Display this page\n"
+        "   --help                          Display this page\n\n"
+        "Extensions over the reference vfgs:\n"
+        "   --batch        <value>          Frames per device dispatch [4]\n"
+        "   --grain-offset <value>          Global grain-state frame offset (use with -s\n"
+        "                                   for bit-exact frame sharding) [0]\n"
+        "   --profile      <dir>            Capture a jax.profiler trace\n"
+        "   -v,--verbose                    Per-stage wall-clock timings\n"
     )
 
 
