@@ -61,6 +61,13 @@ def build_cases():
         "-s", "2", "-c", f"1:{CFG}/fgs_afgs1_test1.cfg",
         "-c", f"4:{CFG}/fgs_sei_ff_test2.cfg"])
     add("odd_dims", w=250, h=150, args=[])
+    # Pad-leak widths: the last deblock boundary reads one sample past the
+    # real width, so the reference depends on its persistent buffer padding
+    # (zeros, then grained) -- exercises the stateful padded-buffer path.
+    add("padleak_luma_w193", w=193, h=160, args=[])
+    add("padleak_chroma_w194", w=194, h=192, depth=8, args=[])
+    add("padleak_chroma_w195_afgs1", w=195, h=160,
+        args=["-c", f"{CFG}/fgs_afgs1_test3.cfg"])
     add("multi_cfg_poc", frames=5, args=[
         "-c", f"0:{CFG}/fgs_sei.cfg",
         "-c", f"1:{CFG}/fgs_sei_ff_test1.cfg",

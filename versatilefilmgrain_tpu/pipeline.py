@@ -271,6 +271,21 @@ class GrainPipeline:
 
     # ------------------------------------------------------------------
 
+    def _has_pad_leak(self) -> bool:
+        """True when a deblock at the last interior block boundary reads one
+        grain sample beyond the real width (component width == 1 mod block
+        width).  The reference then depends on its persistent frame buffer's
+        stride padding -- malloc-zeroed at start, accumulating grained values
+        across frames (vfgs_hw.c:243-283 writes the full final block;
+        yuv_read only overwrites `width` samples per row) -- so those widths
+        need the stateful padded-buffer path to stay bit-exact."""
+        if self._C < 2:
+            return False
+        for subx in (1, self.regs.csubx):
+            if (self.width // subx) % (16 // subx) == 1:
+                return True
+        return False
+
     def frame_bases(self, n: int) -> tuple[int, int]:
         """LFSR lattice bases for frame n (see ops/lfsr.py)."""
         R, C = self._R, self._C
@@ -294,9 +309,21 @@ class GrainPipeline:
         bhc = 16 // regs.csuby
         bwc = 16 // regs.csubx
         y, u, v = planes
-        yp = yuv.pad_plane(y, R * 16, C * 16)
-        up = yuv.pad_plane(u, R * bhc, C * bwc)
-        vp = yuv.pad_plane(v, R * bhc, C * bwc)
+        if self._has_pad_leak():
+            # Stateful padding: replicate the reference's persistent frame
+            # buffer (zeros at start, grained padding carried across frames).
+            if getattr(self, "_pbuf", None) is None:
+                self._pbuf = [
+                    np.zeros((R * 16, C * 16), y.dtype),
+                    np.zeros((R * bhc, C * bwc), u.dtype),
+                    np.zeros((R * bhc, C * bwc), v.dtype)]
+            for buf, p in zip(self._pbuf, (y, u, v)):
+                buf[:p.shape[0], :p.shape[1]] = p
+            yp, up, vp = self._pbuf
+        else:
+            yp = yuv.pad_plane(y, R * 16, C * 16)
+            up = yuv.pad_plane(u, R * bhc, C * bwc)
+            vp = yuv.pad_plane(v, R * bhc, C * bwc)
         base, base_up = self.frame_bases(n)
         if self.engine == "fast":
             from .ops.grain_fast import add_grain_frame_fast_jit, fast_args
@@ -319,6 +346,10 @@ class GrainPipeline:
                 csubx=regs.csubx, csuby=regs.csuby)
         dt = y.dtype
         cw, ch = u.shape[1], u.shape[0]
+        if self._has_pad_leak():
+            # Carry the grained padding into the next frame's buffer.
+            self._pbuf = [np.asarray(yo).astype(dt), np.asarray(uo).astype(dt),
+                          np.asarray(vo).astype(dt)]
         return (np.asarray(yo)[:self.height, :self.width].astype(dt),
                 np.asarray(uo)[:ch, :cw].astype(dt),
                 np.asarray(vo)[:ch, :cw].astype(dt))
@@ -402,7 +433,9 @@ class GrainPipeline:
             except OSError:
                 raise OSError(f"Can not create file {dst}")
 
-        if batch <= 1 or self.engine != "fast":
+        if batch <= 1 or self.engine != "fast" or self._has_pad_leak():
+            # Pad-leak widths couple consecutive frames through the padding
+            # columns (see _has_pad_leak), so they use the per-frame path.
             with open_src() as fs, open_dst() as fd:
                 return self.run(fs, fd, frames=frames, odepth=odepth)
 
