@@ -18,10 +18,6 @@ from gen_golden import cli_args, FMT_NAMES  # noqa: E402
 GOLDEN = json.load(open(os.path.join(REPO, "tests", "golden",
                                      "checksums.json")))
 
-_need_ref_cfg = pytest.mark.skipif(
-    not os.path.isdir("/root/reference/cfg"),
-    reason="reference cfg vectors not available")
-
 
 def _input_path(tmpdir, case):
     path = os.path.join(tmpdir, "in_%dx%d_%db_%s_%df.yuv" % (
@@ -33,7 +29,6 @@ def _input_path(tmpdir, case):
     return path
 
 
-@_need_ref_cfg
 @pytest.mark.parametrize("name", sorted(GOLDEN))
 def test_golden(name, tmp_path_factory):
     from versatilefilmgrain_tpu.cli import main

@@ -63,6 +63,17 @@ def test_malformed_cfg_mid_stream_continues(tmp_path, capsys):
     assert out[0].shape == (192, 256)
 
 
+def test_width_128_rejected():
+    """Lock the boundary-width policy: the reference hard-asserts
+    width > 128 in the hot path (vfgs_hw.c:167-170) and aborts at 128; we
+    reject it as a config error.  129+ is accepted (fuzzed in
+    tools/fuzz_cfg.py --boundary)."""
+    from versatilefilmgrain_tpu.utils.parsers import ConfigError
+    with pytest.raises(ConfigError):
+        GrainPipeline(128, 192, 10, 0)
+    GrainPipeline(130, 192, 10, 0)      # must not raise
+
+
 def test_fifo_input(tmp_path):
     """FIFO sources work like the reference's fopen (vfgs_main.c:711)."""
     import subprocess

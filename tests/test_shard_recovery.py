@@ -23,13 +23,14 @@ def _run(args, out):
     return open(out, "rb").read()
 
 
+_CFG = os.path.join(REPO, "tests", "golden", "cfg")
+
+
 @pytest.mark.parametrize("configs", [
     [],
-    ["-c", "2:/root/reference/cfg/fgs_afgs1_test1.cfg"],
+    ["-c", f"2:{_CFG}/fgs_afgs1_test1.cfg"],
 ])
 def test_shard_concat_equals_single_run(tmp_path, configs):
-    if configs and not os.path.isdir("/root/reference/cfg"):
-        pytest.skip("reference cfg vectors not available")
     inp = str(tmp_path / "in.yuv")
     make_input_yuv(inp, 256, 192, 10, 0, 6)
     base = ["-w", "256", "-h", "192", "-b", "10"] + configs

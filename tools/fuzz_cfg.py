@@ -240,11 +240,20 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 25
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     rand_dims = len(sys.argv) > 3 and sys.argv[3] == "--dims"
+    # --boundary: widths hugging the reference's `assert(width > 128)`
+    # (vfgs_hw.c:167-170) — the smallest legal widths, every width % 16
+    # residue in 130..160, including the 2-block-column minimum.
+    boundary = len(sys.argv) > 3 and sys.argv[3] == "--boundary"
     os.makedirs(WORK, exist_ok=True)
     rng = random.Random(seed)
     fails = 0
     for i in range(n):
-        if rand_dims:
+        if boundary:
+            # even widths only (4:2:0 input); width==128 itself is locked by
+            # tests/test_robustness.py (reference aborts, we reject).
+            w = 2 * rng.randint(65, 80)   # 130..160
+            h = 2 * rng.randint(65, 80)
+        elif rand_dims:
             # random (even) dims incl. non-multiples of 16; w>128, h>=130
             w = 2 * rng.randint(66, 180)
             h = 2 * rng.randint(65, 140)

@@ -22,8 +22,18 @@ sys.path.insert(0, os.path.dirname(__file__))
 from gen_input import make_input_yuv  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CFG = "/root/reference/cfg"
+# Vendored copies of the reference's cfg/ vectors (tests/golden/cfg/README.md)
+# so the suite runs without /root/reference mounted.  Recorded args use the
+# "$CFG" placeholder; expand_cfg() resolves it at use time.
+CFG_DIR = os.path.join(REPO, "tests", "golden", "cfg")
+CFG = "$CFG"
 FMT_NAMES = {0: "420", 1: "422", 2: "444"}
+
+_CFG_EXTS = (".cfg", ".tbl", ".txt")
+
+
+def expand_cfg(arg: str) -> str:
+    return arg.replace("$CFG", CFG_DIR)
 
 
 def build_cases():
@@ -36,8 +46,9 @@ def build_cases():
                           args=list(args)))
 
     # Every cfg vector shipped with the reference.
-    for f in sorted(os.listdir(CFG)):
-        add(f"cfg_{f}", args=["-c", os.path.join(CFG, f)])
+    for f in sorted(os.listdir(CFG_DIR)):
+        if f.endswith(_CFG_EXTS):
+            add(f"cfg_{f}", args=["-c", f"{CFG}/{f}"])
 
     # Our own extra vectors for paths the reference suite leaves untested
     # (8-pattern cap overflow, fill_model_array defaults, overlapping
@@ -96,7 +107,8 @@ def input_path(tmp, case):
 def cli_args(case, inp, out):
     return (["-w", str(case["w"]), "-h", str(case["h"]),
              "-b", str(case["depth"]), "-f", FMT_NAMES[case["fmt"]],
-             "-n", str(case["frames"])] + case["args"] + [inp, out])
+             "-n", str(case["frames"])]
+            + [expand_cfg(a) for a in case["args"]] + [inp, out])
 
 
 def main():

@@ -49,6 +49,8 @@ def help_text(name: str) -> str:
         "   --help                          Display this page\n\n"
         "Extensions over the reference vfgs:\n"
         "   --batch        <value>          Frames per device dispatch [4]\n"
+        "   --engine       <name>           Compute engine: auto, pallas, fast (XLA), ref\n"
+        "                                   [auto: pallas on TPU, fast elsewhere]\n"
         "   --grain-offset <value>          Global grain-state frame offset (use with -s\n"
         "                                   for bit-exact frame sharding) [0]\n"
         "   --profile      <dir>            Capture a jax.profiler trace\n"
@@ -67,6 +69,7 @@ def main(argv=None) -> int:
     frames, seek = 0, 0
     seed, gain = 0, 100
     batch = 4
+    engine = "auto"
     profile_dir = None
     grain_offset = 0
     verbose = False
@@ -113,6 +116,11 @@ def main(argv=None) -> int:
             gain = _atoi(val())
         elif pl == "--batch":  # extension: frames per device dispatch
             batch = max(1, _atoi(val()))
+        elif pl == "--engine":  # extension: compute engine selection
+            engine = val()
+            if engine not in ("auto", "fast", "pallas", "ref"):
+                print(f"Unknown engine {engine}")
+                err = True
         elif pl == "--profile":  # extension: jax profiler trace directory
             profile_dir = val()
         elif pl == "--grain-offset":  # extension: global grain-state offset
@@ -143,7 +151,7 @@ def main(argv=None) -> int:
 
     try:
         pipe = GrainPipeline(width, height, depth, fmt, gain=gain, seed=seed,
-                             seek=seek, configs=configs,
+                             seek=seek, configs=configs, engine=engine,
                              grain_offset=grain_offset)
     except ConfigError as e:
         print(f"Error: {e}", file=sys.stderr)

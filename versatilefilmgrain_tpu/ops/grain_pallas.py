@@ -1,9 +1,11 @@
 """Pallas TPU kernel for the grain engine hot path (bit-exact, VMEM-resident).
 
-Round-1's XLA formulation (ops/grain_fast.py) measured ~12.6 ms per 4K frame
-on a v5e — ~200x off the HBM speed-of-light — because `lax.gather` over the
-window table and the (R, 8, bh, C, bw) layout gymnastics materialize ~8 full
-int32 frames per plane in HBM.  This kernel keeps every intermediate in VMEM:
+The XLA formulation (ops/grain_fast.py) is gather- and layout-bound: the
+coarse `lax.gather` over the window table and the (R, 8, bh, C, bw) layout
+gymnastics materialize multi-frame int32 intermediates in HBM.  This kernel
+keeps every intermediate in VMEM (bench.py measures both engines
+head-to-head on the real chip and reports the numbers; there is exactly one
+source of perf truth and this docstring is not it):
 
 * **Tiled layout.**  Each (frame, 16-line block row) strip is processed as a
   (bh*bw, C) tile — sublanes enumerate the in-block pixel (y*bw + i), lanes
@@ -26,8 +28,9 @@ int32 frames per plane in HBM.  This kernel keeps every intermediate in VMEM:
   x-neighbour across the block boundary.
 
 Identical integers to ops/grain_jnp.py come out; tests/test_pallas_engine.py
-checks bit-exactness on CPU (interpret mode) and the golden suite covers the
-TPU path end-to-end.
+checks bit-exactness against the fast engine in interpret mode (engine- and
+pipeline-level), and bench.py runs the real Mosaic path on TPU.  Reachable
+via ``--engine pallas`` on the CLI / ``GrainPipeline(engine="pallas")``.
 """
 
 from __future__ import annotations

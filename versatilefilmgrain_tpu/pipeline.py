@@ -164,7 +164,7 @@ class GrainPipeline:
 
     def __init__(self, width: int, height: int, depth: int, fmt: int,
                  gain: int = 100, seed: int = 0, seek: int = 0,
-                 configs=(), engine: str = "fast", grain_offset: int = 0,
+                 configs=(), engine: str = "auto", grain_offset: int = 0,
                  initial_sei=None, initial_afgs1=None):
         """``initial_sei``/``initial_afgs1`` replace the built-in default
         config (vfgs_main.c:69-125).  The CLI always starts from the default
@@ -173,8 +173,13 @@ class GrainPipeline:
         a luma-only config here to process those formats."""
         if depth not in (8, 10):
             raise ConfigError("input depth must be 8 or 10")
-        if width < 128 or height < 128:
-            raise ConfigError("width and height must be at least 128")
+        if width <= 128 or height < 128:
+            # The reference hard-asserts width > 128 in the HW hot path
+            # (vfgs_hw.c:167-170) and aborts at width == 128; we reject it as
+            # a config error instead (tools/fuzz_cfg.py --boundary fuzzes the
+            # 130..160 neighbourhood; test_robustness locks this policy).
+            raise ConfigError("width must be greater than 128 and height at "
+                              "least 128")
         if grain_offset < 0:
             raise ConfigError("grain offset must be non-negative")
         self.width, self.height = width, height
@@ -196,6 +201,12 @@ class GrainPipeline:
         # makes disjoint frame shards concatenate exactly (multi-host data
         # parallelism, stateless crash recovery).
         self.grain_offset = grain_offset
+        if engine == "auto":
+            # The Pallas kernel measures ~6x the XLA formulation on TPU
+            # (bench.py, chained-dependency timing); off-TPU it would run in
+            # interpret mode, where the XLA path is the fast one.
+            import jax
+            engine = "pallas" if jax.default_backend() == "tpu" else "fast"
         self.engine = engine
         self._ft_cache = None  # (generation, tables)
         self._cfg_generation = 0
@@ -233,6 +244,23 @@ class GrainPipeline:
         if self._ft_cache is None or self._ft_cache[0] != self._cfg_generation:
             self._ft_cache = (self._cfg_generation, fast_tables(self.regs))
         return self._ft_cache[1]
+
+    def _pallas_step(self):
+        """Jitted batched Pallas step for the current config generation.
+
+        Runs the real Mosaic kernel on TPU and interpret mode elsewhere
+        (bit-identical integers either way; tests/test_pallas_engine.py)."""
+        import jax
+        from .ops.grain_pallas import make_batched_step, pallas_tables
+        if (getattr(self, "_pstep_cache", None) is None
+                or self._pstep_cache[0] != self._cfg_generation):
+            step = make_batched_step(
+                pallas_tables(self.regs), height=self.height,
+                width=self.width, bs=self.regs.bs, csubx=self.regs.csubx,
+                csuby=self.regs.csuby,
+                interpret=jax.default_backend() != "tpu")
+            self._pstep_cache = (self._cfg_generation, step)
+        return self._pstep_cache[1]
 
     def pop_cfg(self, frame: int) -> None:
         """Re-read/validate/adjust/re-init for the next scheduled config."""
@@ -325,7 +353,15 @@ class GrainPipeline:
             up = yuv.pad_plane(u, R * bhc, C * bwc)
             vp = yuv.pad_plane(v, R * bhc, C * bwc)
         base, base_up = self.frame_bases(n)
-        if self.engine == "fast":
+        if self.engine == "pallas":
+            step = self._pallas_step()
+            yo, uo, vo = step(
+                jnp.asarray(yp)[None], jnp.asarray(up)[None],
+                jnp.asarray(vp)[None],
+                jnp.asarray(np.array([base], np.uint32)),
+                jnp.asarray(np.array([base_up], np.uint32)))
+            yo, uo, vo = yo[0], uo[0], vo[0]
+        elif self.engine == "fast":
             from .ops.grain_fast import add_grain_frame_fast_jit, fast_args
             ft = self._fast_tables()
             yo, uo, vo = add_grain_frame_fast_jit(
@@ -389,19 +425,24 @@ class GrainPipeline:
         v = arr[w * h + cw * ch:w * h + 2 * cw * ch].reshape(ch, cw)
         return y, u, v
 
-    def _batched_step(self, B: int):
+    def _batched_step(self, B: int, donate: bool = False):
         import functools
         import jax
         from .ops.grain_fast import add_grain_frame_fast
 
-        if getattr(self, "_bstep", None) is not None and self._bstep[0] == B:
+        key = (B, donate)
+        if getattr(self, "_bstep", None) is not None and self._bstep[0] == key:
             return self._bstep[1]
         fn = functools.partial(add_grain_frame_fast, height=self.height,
                                width=self.width, bs=self.regs.bs,
                                csubx=self.regs.csubx, csuby=self.regs.csuby)
+        # Donating the input planes lets XLA write outputs in place (halves
+        # peak HBM residency of the steady-state loop); run_file's inputs are
+        # fresh arrays per batch so donation is safe there.
         step = jax.jit(jax.vmap(
-            fn, in_axes=(0, 0, 0, 0, 0) + (None,) * 11))
-        self._bstep = (B, step)
+            fn, in_axes=(0, 0, 0, 0, 0) + (None,) * 11),
+            donate_argnums=(0, 1, 2) if donate else ())
+        self._bstep = (key, step)
         return step
 
     def run_file(self, src: str, dst: str, frames: int = 0, odepth: int = 0,
@@ -433,7 +474,8 @@ class GrainPipeline:
             except OSError:
                 raise OSError(f"Can not create file {dst}")
 
-        if batch <= 1 or self.engine != "fast" or self._has_pad_leak():
+        if (batch <= 1 or self.engine not in ("fast", "pallas")
+                or self._has_pad_leak()):
             # Pad-leak widths couple consecutive frames through the padding
             # columns (see _has_pad_leak), so they use the per-frame path.
             with open_src() as fs, open_dst() as fd:
@@ -468,7 +510,24 @@ class GrainPipeline:
                 return None
             return np.frombuffer(raw, dtype=np.uint8)
 
-        step = self._batched_step(batch)
+        import jax
+        donate = jax.default_backend() == "tpu"
+
+        def dispatch(ys, us, vs, bases, bases_up):
+            # resolved per batch: a config switch invalidates the tables
+            if self.engine == "pallas":
+                out = self._pallas_step()(ys, us, vs, bases, bases_up)
+            else:
+                from .ops.grain_fast import fast_args
+                out = self._batched_step(batch, donate=donate)(
+                    ys, us, vs, bases, bases_up,
+                    *fast_args(self._fast_tables()))
+            # Start the d2h of this batch now; by the time flush() blocks on
+            # it (one batch later), the bytes are already on the host.
+            for o in out:
+                o.copy_to_host_async()
+            return out
+
         n = 0
         eof = False
         pending = None  # (device_out, count, shapes)
@@ -537,12 +596,11 @@ class GrainPipeline:
                 for i in range(batch):
                     b, bu = self.frame_bases(n + min(i, count - 1))
                     bases[i], bases_up[i] = b, bu
-                from .ops.grain_fast import fast_args
-                ft = self._fast_tables()
                 t0 = _time.perf_counter()
-                out = step(jnp.asarray(np.stack(ys)), jnp.asarray(np.stack(us)),
-                           jnp.asarray(np.stack(vs)), jnp.asarray(bases),
-                           jnp.asarray(bases_up), *fast_args(ft))
+                out = dispatch(jnp.asarray(np.stack(ys)),
+                               jnp.asarray(np.stack(us)),
+                               jnp.asarray(np.stack(vs)), jnp.asarray(bases),
+                               jnp.asarray(bases_up))
                 t_step += _time.perf_counter() - t0
                 t0 = _time.perf_counter()
                 if pending is not None:
