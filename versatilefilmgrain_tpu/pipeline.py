@@ -478,6 +478,14 @@ class GrainPipeline:
                 or self._has_pad_leak()):
             # Pad-leak widths couple consecutive frames through the padding
             # columns (see _has_pad_leak), so they use the per-frame path.
+            if batch > 1 and self._has_pad_leak():
+                import sys as _sys
+                print(f"[vfg-tpu] note: width {self.width} leaves a one-"
+                      "sample deblock read past the frame edge (component "
+                      "width % block width == 1); the reference feeds its "
+                      "persistent buffer padding across frames there, so "
+                      "frames are processed one at a time to stay bit-exact "
+                      "(slower than the batched path)", file=_sys.stderr)
             with open_src() as fs, open_dst() as fd:
                 return self.run(fs, fd, frames=frames, odepth=odepth)
 
