@@ -26,9 +26,10 @@ def app(tmp_path_factory):
     return DesignerApp(path, 256, 192, 10, 0)
 
 
-def _ev(ax, x, y, button=1, dblclick=False):
+def _ev(ax, x, y, button=1, dblclick=False, px=0.0, py=0.0, step=0):
     return types.SimpleNamespace(inaxes=ax, xdata=x, ydata=y, button=button,
-                                 dblclick=dblclick, key=None)
+                                 dblclick=dblclick, key=None, x=px, y=py,
+                                 step=step)
 
 
 def test_initial_render(app):
@@ -83,3 +84,72 @@ def test_slider_gain(app):
     assert app.design.gain == 60
     # regrain happened with the new gain
     assert app.grained[0].shape == (192, 256)
+
+
+def test_scroll_zoom_and_reset(app):
+    """Scroll on the preview zooms toward the cursor; '0' resets."""
+    assert app.zoom == 1.0
+    app._on_scroll(_ev(app.ax_img, 40.0, 30.0, step=1))
+    assert app.zoom == 2.0
+    # window halves and is centered near the cursor (clamped to the image)
+    x0, x1 = app.ax_img.get_xlim()
+    assert abs((x1 - x0) - 256 / 2) < 1e-6
+    assert app.view_center[0] == 64.0 - 0.5  # clamped: 40 < ww/2 - 0.5
+    app._on_scroll(_ev(app.ax_img, 40.0, 30.0, step=-1))
+    assert app.zoom == 1.0
+    app._on_key(types.SimpleNamespace(key="+"))
+    app._on_key(types.SimpleNamespace(key="+"))
+    assert app.zoom == 3.0
+    app._on_key(types.SimpleNamespace(key="0"))
+    assert app.zoom == 1.0
+    x0, x1 = app.ax_img.get_xlim()
+    assert abs((x1 - x0) - 256) < 1e-6
+
+
+def test_pan_clamped(app):
+    """Left-drag on the preview pans; the view never leaves the image."""
+    app._on_key(types.SimpleNamespace(key="+"))  # zoom 2
+    c0 = app.view_center
+    app._on_press(_ev(app.ax_img, 10.0, 10.0, px=100.0, py=100.0))
+    assert app._pan is not None
+    app._on_motion(_ev(app.ax_img, None, None, px=90.0, py=100.0))
+    assert app.view_center[0] > c0[0]            # dragged left -> view right
+    app._on_release(_ev(app.ax_img, 0, 0))
+    assert app._pan is None
+    # pan far beyond the edge: clamped to the last valid window
+    app._on_press(_ev(app.ax_img, 10.0, 10.0, px=0.0, py=0.0))
+    app._on_motion(_ev(app.ax_img, None, None, px=-1e6, py=1e6))
+    app._on_release(_ev(app.ax_img, 0, 0))
+    x0, x1 = app.ax_img.get_xlim()
+    assert x0 >= -0.5 - 1e-6 and x1 <= 255.5 + 1e-6
+    app._on_key(types.SimpleNamespace(key="0"))
+
+
+def test_fullscreen_toggle(app):
+    app._on_press(_ev(app.ax_img, 5.0, 5.0, dblclick=True))
+    assert app.fullscreen
+    app._on_key(types.SimpleNamespace(key="f"))
+    assert not app.fullscreen
+
+
+def test_mode_cycle(app):
+    """'m' cycles RGB -> Y -> Cb -> Cr; plane modes track plane size."""
+    assert app.mode == 3 and app._imsize == (256, 192)
+    app._on_key(types.SimpleNamespace(key="m"))
+    assert app.mode == 0 and app._imsize == (256, 192)       # Y
+    app._on_key(types.SimpleNamespace(key="m"))
+    assert app.mode == 1 and app._imsize == (128, 96)        # Cb (4:2:0)
+    app._on_key(types.SimpleNamespace(key="m"))
+    assert app.mode == 2
+    app._on_key(types.SimpleNamespace(key="m"))
+    assert app.mode == 3
+
+
+def test_load_key_roundtrip(app, tmp_path):
+    """'w' then 'l' round-trips the design through the cfg file."""
+    app.save_path = str(tmp_path / "design.cfg")
+    app.design.values[0][0][0] = 77
+    app._on_key(types.SimpleNamespace(key="w"))
+    app.design.values[0][0][0] = 11
+    app._on_key(types.SimpleNamespace(key="l"))
+    assert app.design.values[0][0][0] == 77

@@ -10,6 +10,12 @@ Edit grain parameters graphically and preview the result live:
 * sliders for log2_scale_factor, global gain, and preview frame index
 * preview pane showing the grained frame (toggle original with 'o'),
   re-rendered in-process through the TPU pipeline on every edit
+* preview interactions (reference Preview, fgc-designer.py:326-485):
+  scroll wheel or '+'/'-' zooms in integer steps (toward the cursor),
+  left-drag pans (clamped to the image), '0' resets the view,
+  double-click or 'f' toggles fullscreen, 'm' cycles the display mode
+  RGB -> Y -> Cb -> Cr, 'l' loads a cfg (file dialog on Tk, else the
+  --save-to path)
 
 Run:  python -m versatilefilmgrain_tpu.designer <input.yuv>
           [--width W --height H --depth D --format 420|422|444]
@@ -49,6 +55,12 @@ class DesignerApp:
         self.frame = 0
         self.show_original = False
         self._drag = None  # (kind, c, k) kind in {lower, upper, scale, freq}
+        # preview view state (reference Preview, fgc-designer.py:326-485)
+        self.zoom = 1.0            # 1 = whole image fits the pane
+        self.view_center = None    # (x, y) image coords; None = centered
+        self.fullscreen = False
+        self.mode = 3              # 0=Y 1=Cb 2=Cr 3=RGB
+        self._pan = None           # (press_px, press_py, center_at_press)
 
         self.fig = plt.figure("vfg-tpu grain designer", figsize=(13, 7))
         gs = self.fig.add_gridspec(2, 2, width_ratios=[1.0, 1.6],
@@ -76,6 +88,7 @@ class DesignerApp:
         self.fig.canvas.mpl_connect("motion_notify_event", self._on_motion)
         self.fig.canvas.mpl_connect("button_release_event", self._on_release)
         self.fig.canvas.mpl_connect("key_press_event", self._on_key)
+        self.fig.canvas.mpl_connect("scroll_event", self._on_scroll)
 
         self._load_frame()
         self.redraw(regrain=True)
@@ -113,7 +126,8 @@ class DesignerApp:
         ax.set_xlabel("intensity")
         ax.set_ylabel("scale")
         ax.set_title(f"component {_COMP_NAMES[c]}  "
-                     f"(1/2/3 comp, o orig, w write, r reset, q quit)")
+                     f"(1/2/3 comp, o orig, m mode, +/-/0 zoom, f full, "
+                     f"w write, l load, r reset, q quit)")
         for k in range(d.num_intervals(c)):
             lo, hi = d.lower[c][k], d.upper[c][k]
             sc = d.values[c][k][0]
@@ -125,12 +139,87 @@ class DesignerApp:
                 ax.plot([(lo + hi) / 2], [fh * 16], "b^", ms=6)
                 ax.plot([(lo + hi) / 2], [fv * 16], "cv", ms=6)
         img = self.planes if self.show_original else self.grained
-        rgb = yuv_to_rgb(*img, self.depth, self.fmt)
         self.ax_img.clear()
         self.ax_img.set_axis_off()
-        self.ax_img.imshow(rgb, interpolation="nearest")
-        self.ax_img.set_title("original" if self.show_original else "grained")
+        if self.mode < 3:                        # single plane, gray
+            p = img[self.mode]
+            self.ax_img.imshow(p, cmap="gray", interpolation="nearest",
+                               vmin=0, vmax=(1 << self.depth) - 1)
+            self._imsize = (p.shape[1], p.shape[0])
+        else:                                    # RGB composite
+            rgb = yuv_to_rgb(*img, self.depth, self.fmt)
+            self.ax_img.imshow(rgb, interpolation="nearest")
+            self._imsize = (rgb.shape[1], rgb.shape[0])
+        self._apply_view()
         self.fig.canvas.draw_idle()
+
+    # -- preview view: zoom / pan / fullscreen / mode ---------------------
+    # Capability parity with the reference's Preview window
+    # (fgc-designer.py:326-485), expressed backend-portably: zoom 1 fits
+    # the whole image in the pane and integer zoom steps magnify from
+    # there (the reference anchors zoom 1 at native display pixels of a
+    # free-floating window instead).
+
+    def _apply_view(self):
+        w, h = self._imsize
+        ww, wh = w / self.zoom, h / self.zoom
+        cx, cy = self.view_center or (w / 2 - 0.5, h / 2 - 0.5)
+        # clamp the view window to the image
+        cx = min(max(cx, ww / 2 - 0.5), w - ww / 2 - 0.5)
+        cy = min(max(cy, wh / 2 - 0.5), h - wh / 2 - 0.5)
+        self.view_center = (cx, cy)
+        self.ax_img.set_xlim(cx - ww / 2, cx + ww / 2)
+        self.ax_img.set_ylim(cy + wh / 2, cy - wh / 2)   # image y-down
+        title = "original" if self.show_original else "grained"
+        title += f"  [{('Y', 'Cb', 'Cr', 'RGB')[self.mode]}"
+        if self.zoom != 1.0:
+            title += f", zoom {round(self.zoom * 100)} %"
+        self.ax_img.set_title(title + "]")
+
+    def _set_zoom(self, zoom: float, at=None):
+        zoom = min(max(zoom, 1.0), 8.0)
+        if zoom == self.zoom:
+            return
+        if at is not None and zoom > 1.0:
+            self.view_center = at                # zoom toward the cursor
+        self.zoom = zoom
+        self._apply_view()
+        self.fig.canvas.draw_idle()
+
+    def _on_scroll(self, ev):
+        if ev.inaxes is not self.ax_img:
+            return
+        at = (ev.xdata, ev.ydata) if ev.xdata is not None else None
+        self._set_zoom(self.zoom + (1 if ev.step > 0 else -1), at=at)
+
+    def _toggle_fullscreen(self):
+        self.fullscreen = not self.fullscreen
+        try:
+            self.fig.canvas.manager.full_screen_toggle()
+        except Exception:
+            pass                                 # headless: state tracked
+
+    def _load_cfg_interactive(self):
+        import os
+
+        import matplotlib
+        path = self.save_path
+        if matplotlib.get_backend().lower().startswith("tk"):
+            try:
+                from tkinter import filedialog
+                sel = filedialog.askopenfilename(
+                    title="Load FGC SEI cfg",
+                    filetypes=[("cfg files", "*.cfg"), ("all files", "*")])
+                if sel:
+                    path = sel
+            except Exception:
+                pass
+        if os.path.exists(path):
+            self.design.load(path)
+            self.redraw(regrain=True)
+            print(f"[designer] loaded {path}")
+        else:
+            print(f"[designer] no cfg at {path}")
 
     # -- interaction ----------------------------------------------------
 
@@ -142,6 +231,12 @@ class DesignerApp:
         return None
 
     def _on_press(self, ev):
+        if ev.inaxes is self.ax_img:
+            if ev.dblclick:                      # double-click: fullscreen
+                self._toggle_fullscreen()
+            elif ev.button == 1:                 # left-drag: pan
+                self._pan = (ev.x, ev.y, self.view_center)
+            return
         if ev.inaxes is not self.ax_edit or ev.xdata is None:
             return
         d, c = self.design, self.comp
@@ -170,6 +265,20 @@ class DesignerApp:
             self._drag = ("scale", c, k)
 
     def _on_motion(self, ev):
+        if self._pan is not None:
+            if ev.x is None or ev.y is None:
+                return
+            px, py, (cx, cy) = self._pan
+            bbox = self.ax_img.get_window_extent()
+            w, h = self._imsize
+            sx = (w / self.zoom) / max(bbox.width, 1.0)
+            sy = (h / self.zoom) / max(bbox.height, 1.0)
+            # display y is up, image y is down: both deltas flip sign once
+            self.view_center = (cx - (ev.x - px) * sx,
+                                cy + (ev.y - py) * sy)
+            self._apply_view()
+            self.fig.canvas.draw_idle()
+            return
         if self._drag is None or ev.inaxes is not self.ax_edit:
             return
         kind, c, k = self._drag
@@ -189,6 +298,9 @@ class DesignerApp:
         self.redraw(regrain=False)
 
     def _on_release(self, ev):
+        if self._pan is not None:
+            self._pan = None
+            return
         if self._drag is None:
             return
         kind, c, k = self._drag
@@ -211,6 +323,21 @@ class DesignerApp:
         elif ev.key == "r":          # reset to the default design
             self.design.reset()
             self.redraw(regrain=True)
+        elif ev.key == "l":          # load a cfg (dialog on Tk)
+            self._load_cfg_interactive()
+        elif ev.key == "m":          # cycle display mode RGB->Y->Cb->Cr
+            self.mode = (self.mode + 1) % 4
+            self.redraw()
+        elif ev.key in ("+", "="):
+            self._set_zoom(self.zoom + 1)
+        elif ev.key == "-":
+            self._set_zoom(self.zoom - 1)
+        elif ev.key == "0":          # reset view
+            self.zoom, self.view_center = 1.0, None
+            self._apply_view()
+            self.fig.canvas.draw_idle()
+        elif ev.key == "f":
+            self._toggle_fullscreen()
         elif ev.key == "q":
             self.plt.close(self.fig)
 
