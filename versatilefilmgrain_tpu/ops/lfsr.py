@@ -111,20 +111,52 @@ def state_lattice_np(base: int, rows: int, cols: int) -> np.ndarray:
     return state
 
 
+@functools.lru_cache(maxsize=8)
+def _lattice_matrix_table(rows: int, cols: int) -> np.ndarray:
+    """Static (rows, cols, 32) table: entry [r, c] is the column rep of
+    A^(r*cols + c).
+
+    Built on the host once per lattice shape by composing per-row and
+    per-column exponent matrices: A^(r*cols+c) = A^(r*cols) . A^c.  Each
+    factor family is computed with the same square-multiply-on-batches trick
+    as :func:`state_lattice_np`, so construction is O(log(n)) numpy passes.
+    """
+    def _exp_family(n: int, stride: int) -> np.ndarray:
+        """(n, 32) uint32: row e holds the column rep of A^(e*stride)."""
+        fam = np.broadcast_to(_identity_cols(), (n, 32)).copy()
+        e = np.arange(n, dtype=np.uint64) * stride
+        nbits = max(1, int(e.max()).bit_length()) if n > 1 else 1
+        for k in range(nbits):
+            jumped = apply_cols(jump_cols_pow2(k), fam)
+            bit = ((e >> k) & 1).astype(bool)[:, None]
+            fam = np.where(bit, jumped, fam)
+        return fam.astype(np.uint32)
+
+    arow = _exp_family(rows, cols)      # A^(r*cols)
+    acol = _exp_family(cols, 1)         # A^c
+    # compose: out[r, c, i] = XOR_j arow[r, j] * bit_j(acol[c, i])
+    out = np.zeros((rows, cols, 32), np.uint32)
+    for j in range(32):
+        out ^= arow[:, None, None, j] * ((acol[None, :, :] >> j) & 1)
+    out.setflags(write=False)
+    return out
+
+
 def state_lattice_jax(base, rows: int, cols: int):
     """Same as :func:`state_lattice_np` but jit-traceable (base may be traced).
 
-    ``rows``/``cols`` are static; the jump matrices are baked in as constants.
+    ``rows``/``cols`` are static, so the per-exponent matrices A^(r*cols+c)
+    are a host-precomputed constant table and the device work is just the
+    32 select-XOR contraction against ``base``'s bits (~15x cheaper than
+    square-multiplying on device per lattice point).
     """
     import jax.numpy as jnp
 
-    e = np.arange(rows * cols, dtype=np.uint32).reshape(rows, cols)
-    state = jnp.full((rows, cols), jnp.asarray(base, jnp.uint32), jnp.uint32)
-    nbits = max(1, (rows * cols - 1).bit_length())
-    for k in range(nbits):
-        jumped = apply_cols(jump_cols_pow2(k), state)
-        bit = np.asarray((e >> k) & 1, dtype=bool)  # static mask
-        state = jnp.where(bit, jumped, state)
+    m = _lattice_matrix_table(rows, cols)           # (rows, cols, 32) static
+    base = jnp.asarray(base, jnp.uint32)
+    state = jnp.zeros((rows, cols), jnp.uint32)
+    for j in range(32):
+        state = state ^ (m[:, :, j] * ((base >> j) & jnp.uint32(1)))
     return state
 
 
