@@ -28,9 +28,9 @@ artifacts; this bench does not:
 * The measurement is taken twice; the two must agree within 25% or the run
   fails.
 
-Both engines (XLA `grain_fast` and the Pallas kernel) are measured
-head-to-head; the headline metric is the faster one, and both numbers are
-printed on stderr.
+All three engines (XLA `grain_fast`, the tiled Pallas kernel, and the
+natural-layout Pallas kernel) are measured head-to-head; the headline metric
+is the fastest one, and every number is printed on stderr.
 
 The baseline is the reference C model (single-threaded `vfgs` binary, -O2
 -mavx2) measured on this machine over the same workload; the reference
@@ -51,7 +51,10 @@ import numpy as np
 H, W = 2160, 3840
 FRAMES_BATCH = 8   # amortizes dispatch + lattice setup on v5e
 N_SHORT = 8        # short chain length
-N_LONG = 40        # long chain length (t_iter from the difference)
+N_LONG = 40        # initial long chain length (t_iter from the difference)
+N_CAP = 4096       # upper bound on the adaptive long chain
+MIN_SPAN = 0.5     # seconds of differenced device work needed to swamp the
+                   # tunnel's RTT jitter (tens of ms between chain calls)
 
 # vfgs fps measured on this machine (gcc -O2 -mavx2, single thread, /dev/shm
 # IO, 4K 10-bit): used only if /root/reference is unavailable for a live
@@ -98,7 +101,13 @@ def bench_reference() -> float | None:
 
 def _chain_fps(step, state0, cargs) -> float:
     """Frames/s from a chained-dependency run: state = step(state), N times,
-    one dependent-scalar fetch at the end; RTT cancelled by differencing."""
+    one dependent-scalar fetch at the end; RTT cancelled by differencing.
+
+    Chain lengths adapt: for very cheap steps (e.g. the roofline copy) a
+    40-step difference is tens of ms of device work, below the tunnel's RTT
+    jitter — the slope can even come out negative.  Grow the long chain until
+    the differenced span is >= MIN_SPAN seconds, then take the median of three
+    slope measurements."""
     F = state0[0].shape[0]
 
     def chain(n):
@@ -112,9 +121,25 @@ def _chain_fps(step, state0, cargs) -> float:
         return time.perf_counter() - t0
 
     chain(1)  # compile + warm
-    t1 = chain(N_SHORT)
-    t2 = chain(N_LONG)
-    t_iter = (t2 - t1) / (N_LONG - N_SHORT)
+    n_long = N_LONG
+    for _ in range(10):
+        t1 = chain(N_SHORT)
+        t2 = chain(n_long)
+        span = t2 - t1
+        if span >= MIN_SPAN or n_long >= N_CAP:
+            break
+        est = span / (n_long - N_SHORT) if span > 0 else 0.0
+        want = int(MIN_SPAN / est) + N_SHORT + 1 if est > 0 else 4 * n_long
+        n_long = min(N_CAP, max(2 * n_long, want))
+    slopes = []
+    for _ in range(3):
+        t1 = chain(N_SHORT)
+        t2 = chain(n_long)
+        slopes.append((t2 - t1) / (n_long - N_SHORT))
+    t_iter = sorted(slopes)[1]
+    assert t_iter > 0, (
+        f"non-positive chained slope {slopes} even at n_long={n_long} — "
+        f"timing methodology is broken")
     return F / t_iter
 
 
@@ -164,23 +189,27 @@ def bench_tpu() -> dict:
 
     fast_fps = _chain_fps(fast_step, state0, cargs)
 
-    # --- engine: Pallas kernel ----------------------------------------------
-    pt = pallas_tables(regs)
-    pallas_step = make_batched_step(pt, height=H, width=W, bs=2, csubx=2,
-                                    csuby=2)
-    try:
-        pallas_fps = _chain_fps(pallas_step, state0, cargs)
-        pallas_fps2 = _chain_fps(pallas_step, state0, cargs)
-    except Exception as e:  # platform without Pallas TPU support
-        print(f"bench: pallas engine unavailable ({type(e).__name__}: {e})",
-              file=sys.stderr)
-        pallas_fps = pallas_fps2 = 0.0
+    # --- engines: Pallas kernels (tiled + natural layout) -------------------
+    def _try_engine(mk, tables):
+        step = mk(tables, height=H, width=W, bs=2, csubx=2, csuby=2)
+        try:
+            return step, _chain_fps(step, state0, cargs)
+        except Exception as e:  # platform without Pallas TPU support
+            print(f"bench: engine unavailable ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+            return step, 0.0
 
-    if pallas_fps > fast_fps:
-        name, fps, fps2 = "pallas", pallas_fps, pallas_fps2
-    else:
-        name, fps = "xla", fast_fps
-        fps2 = _chain_fps(fast_step, state0, cargs)
+    pallas_step, pallas_fps = _try_engine(make_batched_step,
+                                          pallas_tables(regs))
+    from versatilefilmgrain_tpu.ops.grain_natural import (
+        make_batched_step as make_natural_step, natural_tables)
+    natural_step, natural_fps = _try_engine(make_natural_step,
+                                            natural_tables(regs))
+
+    name, fps, step = max(
+        (("xla", fast_fps, fast_step), ("pallas", pallas_fps, pallas_step),
+         ("natural", natural_fps, natural_step)), key=lambda e: e[1])
+    fps2 = _chain_fps(step, state0, cargs)
 
     # Materialize a full-output checksum (outside the timed region) so the
     # final state is consumed end to end.
@@ -196,6 +225,7 @@ def bench_tpu() -> dict:
           f"{roofline_fps:.0f} fps ({roofline_gbps:.0f} GB/s device copy) "
           f"-> {100 * fps / roofline_fps:.1f}% of roofline | "
           f"xla={fast_fps:.1f} fps pallas={pallas_fps:.1f} fps "
+          f"natural={natural_fps:.1f} fps "
           f"checksum={csum & 0xFFFFFFFF:#x}",
           file=sys.stderr)
     assert fps <= roofline_fps * 1.05, (
@@ -207,7 +237,7 @@ def bench_tpu() -> dict:
         f"({fps:.0f} vs {fps2:.0f} fps) — unstable timing")
     return {"fps": min(fps, fps2), "engine": name,
             "roofline_fps": roofline_fps, "xla_fps": fast_fps,
-            "pallas_fps": pallas_fps}
+            "pallas_fps": pallas_fps, "natural_fps": natural_fps}
 
 
 def main():

@@ -1,0 +1,115 @@
+"""Natural-layout engine must match the fast (XLA) engine bit-exactly.
+
+Runs the kernel in interpret mode on the CPU test mesh; the real Mosaic path
+is exercised by bench.py on TPU (same kernel code, interpret=False).  Covers
+SEI-FF / SEI-AR / AFGS1 configs, 4:2:0 / 4:2:2 / 4:4:4, 8/10-bit, the VMEM
+overlap carry across block rows and frames, plus the pipeline-level
+`engine="natural"` wiring.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from versatilefilmgrain_tpu.ops import lfsr
+from versatilefilmgrain_tpu.ops.grain_fast import (add_grain_frame_fast_jit,
+                                                   fast_args, fast_tables)
+from versatilefilmgrain_tpu.ops.grain_natural import (add_grain_batch_natural,
+                                                      natural_tables)
+
+from test_fast_engine import _regs_for
+
+
+@pytest.mark.parametrize("kind", ["sei_ff", "sei_ar", "afgs1"])
+@pytest.mark.parametrize("depth,csub", [(10, (2, 2)), (8, (2, 2)),
+                                        (10, (2, 1)), (8, (1, 1))])
+def test_natural_matches_fast(kind, depth, csub):
+    H, W = 144, 256
+    R, C = H // 16, W // 16
+    csubx, csuby = csub
+    bs = depth - 8
+    regs = _regs_for(kind, depth, csub)
+    hi = (1 << depth) - 1
+    rng = np.random.default_rng(7)
+    dt = np.uint8 if depth == 8 else np.uint16
+    y = rng.integers(0, hi + 1, (R * 16, C * 16)).astype(dt)
+    u = rng.integers(0, hi + 1,
+                     (R * (16 // csuby), C * (16 // csubx))).astype(dt)
+    v = rng.integers(0, hi + 1,
+                     (R * (16 // csuby), C * (16 // csubx))).astype(dt)
+
+    frames = (0, 1, 3)
+    bases, bases_up = [], []
+    for f in frames:
+        e0 = lfsr.frame_base_exponent(f, R, C)
+        bases.append(int(lfsr.advance(np.uint32(regs.seed_state), e0)))
+        bases_up.append(int(lfsr.advance(np.uint32(regs.seed_state), e0 - C))
+                        if e0 else bases[-1])
+
+    # Natural engine: one batched call over all three frames (also exercises
+    # carry invalidation at frame boundaries within the grid).
+    nt = natural_tables(regs)
+    nout = add_grain_batch_natural(
+        jnp.asarray(np.stack([y] * len(frames))),
+        jnp.asarray(np.stack([u] * len(frames))),
+        jnp.asarray(np.stack([v] * len(frames))),
+        jnp.asarray(np.array(bases, np.uint32)),
+        jnp.asarray(np.array(bases_up, np.uint32)),
+        nt, height=H, width=W, bs=bs, csubx=csubx, csuby=csuby,
+        interpret=True)
+
+    ft = fast_tables(regs)
+    for fi, f in enumerate(frames):
+        fast = add_grain_frame_fast_jit(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            jnp.uint32(bases[fi]), jnp.uint32(bases_up[fi]), *fast_args(ft),
+            height=H, width=W, bs=bs, csubx=csubx, csuby=csuby)
+        for p, (r, q) in enumerate(zip(fast, nout)):
+            assert np.array_equal(np.asarray(r), np.asarray(q)[fi]), \
+                f"{kind} d{depth} csub{csub} frame {f} plane {p}"
+
+
+def test_pipeline_engine_natural_matches_fast():
+    """engine="natural" through GrainPipeline produces identical frames,
+    including unaligned dimensions (padding path) and multi-frame state."""
+    from versatilefilmgrain_tpu.pipeline import GrainPipeline
+    from versatilefilmgrain_tpu.utils import yuv
+
+    Wd, Hd = 250, 140  # unaligned: exercises pad_plane + crop
+    rng = np.random.default_rng(11)
+    framesets = []
+    for _ in range(3):
+        yp = rng.integers(0, 1024, (Hd, Wd)).astype(np.uint16)
+        up = rng.integers(0, 1024, (Hd // 2, Wd // 2)).astype(np.uint16)
+        vp = rng.integers(0, 1024, (Hd // 2, Wd // 2)).astype(np.uint16)
+        framesets.append((yp, up, vp))
+
+    pf = GrainPipeline(Wd, Hd, 10, yuv.YUV_420, engine="fast")
+    pn = GrainPipeline(Wd, Hd, 10, yuv.YUV_420, engine="natural")
+    for n, planes in enumerate(framesets):
+        of = pf.process_frame(tuple(p.copy() for p in planes), n)
+        on = pn.process_frame(tuple(p.copy() for p in planes), n)
+        for c, (a, b) in enumerate(zip(of, on)):
+            assert np.array_equal(a, b), f"frame {n} plane {c}"
+
+
+def test_run_file_engine_natural(tmp_path):
+    """Batched run_file with the natural engine is bit-identical to fast."""
+    from versatilefilmgrain_tpu.pipeline import GrainPipeline
+    from versatilefilmgrain_tpu.utils import yuv
+
+    Wd, Hd, nfr = 256, 144, 5
+    rng = np.random.default_rng(23)
+    src = tmp_path / "in.yuv"
+    raw = rng.integers(0, 1024, nfr * Wd * Hd * 3 // 2, dtype=np.uint16)
+    raw.tofile(src)
+
+    outs = {}
+    for engine in ("fast", "natural"):
+        dst = tmp_path / f"out_{engine}.yuv"
+        pipe = GrainPipeline(Wd, Hd, 10, yuv.YUV_420, engine=engine)
+        n = pipe.run_file(str(src), str(dst), frames=0, batch=2)
+        assert n == nfr
+        outs[engine] = dst.read_bytes()
+    assert outs["fast"] == outs["natural"]

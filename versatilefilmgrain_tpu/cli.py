@@ -49,7 +49,7 @@ def help_text(name: str) -> str:
         "   --help                          Display this page\n\n"
         "Extensions over the reference vfgs:\n"
         "   --batch        <value>          Frames per device dispatch [4]\n"
-        "   --engine       <name>           Compute engine: auto, pallas, fast (XLA), ref\n"
+        "   --engine       <name>           Compute engine: auto, natural, pallas, fast (XLA), ref\n"
         "                                   [auto: pallas on TPU, fast elsewhere]\n"
         "   --grain-offset <value>          Global grain-state frame offset (use with -s\n"
         "                                   for bit-exact frame sharding) [0]\n"
@@ -118,7 +118,7 @@ def main(argv=None) -> int:
             batch = max(1, _atoi(val()))
         elif pl == "--engine":  # extension: compute engine selection
             engine = val()
-            if engine not in ("auto", "fast", "pallas", "ref"):
+            if engine not in ("auto", "fast", "pallas", "natural", "ref"):
                 print(f"Unknown engine {engine}")
                 err = True
         elif pl == "--profile":  # extension: jax profiler trace directory

@@ -1,0 +1,293 @@
+"""Natural-layout Pallas TPU kernel for the grain engine (bit-exact).
+
+The first Pallas engine (ops/grain_pallas.py) computes in a (bh*bw, C) tiled
+layout, which needs XLA-side tile/untile transposes around every call; on the
+target chip those relayouts materialize at a fraction of copy bandwidth and
+dominate the step (~75% of wall time, tools/perf_probe.py).  This kernel never
+changes layout: HBM traffic is the frame in natural (row, x) layout and
+nothing else, and the "relayout" happens implicitly inside the MXU contraction
+that assembles pattern windows:
+
+* **Fused window one-hot.**  Block offsets are quantized (ox = kq*xmul,
+  oy = lq*ymul; vfgs_hw.c:99-138 via ops/offsets.py), so the pattern value a
+  pixel needs is pattern[p, lq*ymul + y, ox + x%bw] -- fully determined by a
+  per-lane index t[x] = lq[x//bw]*KC + ox[x//bw] + x%bw with KC = 16*xmul.
+  Building the (K=12*KC, W) one-hot (iota == t) and computing
+  pattern2 @ onehot on the MXU (int8 x int8 -> int32) yields all 8 pattern
+  candidates for a whole strip directly in natural lane order: the matmul IS
+  the relayout.
+
+* **Overlap rows ride a VMEM carry.**  Vertical overlap needs the previous
+  block row's window rows bh..bh+n_ov-1 at the previous row's offsets
+  (vfgs_hw.c:206,223-229).  Those rows extend the same matmul (M = 8 patterns
+  x (bh + n_ov) rows) at strip r-1 and persist in VMEM scratch across grid
+  steps -- the TPU grid is sequential with the block-row dimension innermost,
+  so step (f, r) consumes the carry written by (f, r-1).  Row 0 of a frame
+  never blends (mirrors ops/grain_fast.py rmask), so stale carry at frame
+  boundaries is masked out and no "up" lattice is needed at all.
+
+* **Natural-lane epilogue.**  The intensity->(scale, pattern) LUT pair is the
+  run-length compare/add chain (vfgs_fw.c:597-639 structure), the 8-way
+  pattern mux is a 3-bit select tree on static row slices, and the horizontal
+  deblock (vfgs_hw.c:250-258) becomes a masked 3-tap over lane rolls --
+  trivial in natural layout.
+
+Identical integers to ops/grain_jnp.py come out; tests/test_natural_engine.py
+checks bit-exactness against the fast engine in interpret mode, and bench.py
+measures the real Mosaic path on TPU head-to-head with the other engines.
+Reachable via ``--engine natural`` on the CLI / ``GrainPipeline``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import lfsr
+from .offsets import block_offsets
+from .grain_fast import build_segments
+
+_PACK_SHIFT = 9  # scale in bits 0..8, pattern index in bits 9..12
+
+
+# ---------------------------------------------------------------------------
+# Host-side table packaging
+# ---------------------------------------------------------------------------
+
+def _pack_pattern2(pattern_class: np.ndarray, bh: int, bw: int, n_ov: int,
+                   ymul: int, xmul: int) -> np.ndarray:
+    """(8*(bh+n_ov), 12*KC) GEMM operand, KC = 16*xmul.
+
+    Row p*(bh+n_ov)+y, column lq*KC+kc holds pattern[p, lq*ymul + y, kc]:
+    contracting against the (k == t[x]) one-hot with
+    t[x] = (oy//ymul)*KC + ox + x%bw reproduces the window fetch
+    pattern[p, oy + y, ox + x%bw] exactly (kc = ox + x%bw <= 12*xmul + bw - 1
+    < KC, rows lq*ymul + y <= 11*ymul + bh + n_ov - 1 < 64).
+    """
+    KC = 16 * xmul
+    rows = bh + n_ov
+    out = np.zeros((8 * rows, 12 * KC), np.int8)
+    for p in range(8):
+        for y in range(rows):
+            for lq in range(12):
+                out[p * rows + y, lq * KC:(lq + 1) * KC] = \
+                    pattern_class[p, lq * ymul + y, :KC]
+    return out
+
+
+def natural_tables(regs) -> dict:
+    """Kernel-ready packaging of the register file (cf. fast_tables)."""
+    csubx, csuby = regs.csubx, regs.csuby
+    pat2_l = _pack_pattern2(regs.pattern[0], 16, 16, 2, 4, 4)
+    bh_c, bw_c = 16 // csuby, 16 // csubx
+    n_ov_c = 1 if csuby == 2 else 2
+    pat2_c = _pack_pattern2(regs.pattern[1], bh_c, bw_c, n_ov_c,
+                            4 // csuby, 4 // csubx)
+    seg = [build_segments(regs.slut[c], regs.plut[c]) for c in range(3)]
+    S = max(len(s) for s, _ in seg)
+    S = -(-S // 8) * 8
+    starts = np.zeros((3, S), np.int32)
+    deltas = np.zeros((3, S), np.int32)
+    for c, (s, d) in enumerate(seg):
+        starts[c, :len(s)] = s
+        deltas[c, :len(d)] = d
+    return dict(
+        pat2_luma=pat2_l, pat2_chroma=pat2_c,
+        seg_starts=starts, seg_deltas=deltas,
+        scale_shift=int(regs.scale_shift),
+        y_min=int(regs.y_min), y_max=int(regs.y_max),
+        c_min=int(regs.c_min), c_max=int(regs.c_max),
+        bh_c=bh_c, bw_c=bw_c, n_ov_c=n_ov_c,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _mux8(planes, pi):
+    """Select among 8 same-shape planes with a 3-bit binary tree."""
+    b0 = (pi & 1) == 1
+    b1 = (pi & 2) == 2
+    b2 = (pi & 4) == 4
+    a = jnp.where(b0, planes[1], planes[0])
+    b = jnp.where(b0, planes[3], planes[2])
+    c = jnp.where(b0, planes[5], planes[4])
+    d = jnp.where(b0, planes[7], planes[6])
+    e = jnp.where(b1, b, a)
+    f = jnp.where(b1, d, c)
+    return jnp.where(b2, f, e)
+
+
+def _plane_kernel(x_ref, t_ref, sign_ref, segs_ref, segd_ref, pat_ref,
+                  out_ref, carry_ref, *, bh: int, bw: int, n_ov: int,
+                  nseg: int, K: int, bs: int, scale_shift: int, imin: int,
+                  imax: int, Wp: int):
+    """One (frame, block-row) strip in natural (bh, Wp) layout."""
+    r = pl.program_id(1)
+    rows = bh + n_ov
+
+    x = x_ref[0].astype(jnp.int32)                         # (bh, Wp)
+    inten = (x >> bs) & 0xFF
+
+    # Packed (scale | pattern<<9) via run-length compare/add chain.
+    acc = jnp.zeros_like(inten)
+    for k in range(nseg):
+        acc = acc + jnp.where(inten >= segs_ref[k], segd_ref[k], 0)
+    sc = acc & ((1 << _PACK_SHIFT) - 1)
+    pi = acc >> _PACK_SHIFT
+
+    # All 8 pattern candidates (plus next strip's overlap rows), assembled on
+    # the MXU directly in natural lane order: the contraction over the
+    # (k == t) one-hot IS the window fetch + relayout.
+    t = t_ref[0, 0]                                        # (1, Wp) int32
+    kio = jax.lax.broadcasted_iota(jnp.int32, (K, Wp), 0)
+    onehot = (kio == t).astype(jnp.int8)
+    cand = jax.lax.dot_general(pat_ref[:], onehot, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)  # (M, Wp)
+    cand = cand * sign_ref[0, 0]                           # (1, Wp) broadcast
+
+    # Pattern mux on static row slices (no reshapes -- lane layout untouched).
+    P = _mux8([cand[p * rows:p * rows + bh] for p in range(8)], pi)
+    up_prev = carry_ref[:]                                 # (8*n_ov, Wp)
+    Pu = _mux8([up_prev[p * n_ov:(p + 1) * n_ov] for p in range(8)],
+               pi[:n_ov])
+    carry_ref[:] = jnp.concatenate(
+        [cand[p * rows + bh:(p + 1) * rows] for p in range(8)], axis=0)
+
+    # Vertical overlap on the first n_ov rows (vfgs_hw.c:223-229), active for
+    # every block row but the frame's first.  Coefficient pairs (12,24)/
+    # (24,12) for suby=1 rows 0/1, (20,20) for suby=2.
+    if n_ov == 1:
+        oc1 = oc2 = 20
+    else:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_ov, Wp), 0)
+        first = row < 1
+        oc1 = jnp.where(first, 12, 24)
+        oc2 = jnp.where(first, 24, 12)
+    blend = (P[:n_ov] * oc1 + Pu * oc2 + 16) >> 5
+    top = jnp.where(r > 0, blend, P[:n_ov])
+    P = jnp.concatenate([top, P[n_ov:]], axis=0)
+
+    # Horizontal deblock at inner block boundaries (vfgs_hw.c:250-258): a
+    # masked 3-tap over lane rolls; both edge values use pre-deblock grain.
+    left = pltpu.roll(P, shift=1, axis=1)                  # P[x-1]
+    right = pltpu.roll(P, shift=Wp - 1, axis=1)            # P[x+1]
+    sm = (left + 3 * P + right + 2) >> 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bh, Wp), 1)
+    i = lane & (bw - 1)
+    mask = ((i == 0) & (lane > 0)) | ((i == bw - 1) & (lane < Wp - 1))
+    P = jnp.where(mask, sm, P)
+
+    # Scale, round, add, clip (vfgs_hw.c:266-276).
+    g = (sc * P + (1 << (scale_shift - 1))) >> scale_shift
+    res = jnp.clip(x + g, imin << bs, imax << bs)
+    out_ref[0] = res.astype(out_ref.dtype)
+
+
+def _plane_pallas(xp, t, sign, segs, segd, pat2, *, bh, bw, n_ov, nseg, bs,
+                  scale_shift, imin, imax, interpret=False):
+    """pallas_call wrapper: xp (F, R*bh, Wp) natural plane -> same shape."""
+    F, Hp, Wp = xp.shape
+    R = Hp // bh
+    K = int(pat2.shape[1])
+    kern = functools.partial(
+        _plane_kernel, bh=bh, bw=bw, n_ov=n_ov, nseg=nseg, K=K, bs=bs,
+        scale_shift=scale_shift, imin=imin, imax=imax, Wp=Wp)
+
+    strip = pl.BlockSpec((1, bh, Wp), lambda f, r: (f, r, 0),
+                         memory_space=pltpu.VMEM)
+    perlane = pl.BlockSpec((1, 1, 1, Wp), lambda f, r: (f, r, 0, 0),
+                           memory_space=pltpu.VMEM)
+    const2 = pl.BlockSpec(pat2.shape, lambda f, r: (0, 0),
+                          memory_space=pltpu.VMEM)
+    smem1 = lambda a: pl.BlockSpec(a.shape, lambda f, r: (0,),
+                                   memory_space=pltpu.SMEM)
+
+    return pl.pallas_call(
+        kern,
+        grid=(F, R),
+        in_specs=[strip, perlane, perlane, smem1(segs), smem1(segd), const2],
+        out_specs=strip,
+        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+        scratch_shapes=[pltpu.VMEM((8 * n_ov, Wp), jnp.int32)],
+        interpret=interpret,
+    )(xp, t, sign, segs, segd, pat2)
+
+
+# ---------------------------------------------------------------------------
+# XLA wrapper: state lattice + per-lane one-hot targets
+# ---------------------------------------------------------------------------
+
+def _lane_arrays(lat, c, csubx, csuby):
+    """Per-lane one-hot target t and sign for component c, (F, R, C*bw)."""
+    subx = csubx if c else 1
+    suby = csuby if c else 1
+    bw = 16 // subx
+    ymul, xmul = 4 // suby, 4 // subx
+    KC = 16 * xmul
+    s, ox, oy = block_offsets(lat, c, csubx, csuby)
+    baset = ((oy // ymul) * KC + ox).astype(jnp.int32)     # (F, R, C)
+    i = np.arange(bw, dtype=np.int32)
+    F, R, C = baset.shape
+    t = (baset[..., None] + i).reshape(F, R, 1, C * bw)
+    sign = jnp.broadcast_to(s.astype(jnp.int32)[..., None],
+                            (F, R, C, bw)).reshape(F, R, 1, C * bw)
+    return t, sign
+
+
+def add_grain_batch_natural(y, u, v, bases, bases_up, tables: dict, *,
+                            height: int, width: int, bs: int, csubx: int,
+                            csuby: int, interpret: bool = False):
+    """Batched whole-frame grain, natural-layout engine.
+
+    Same contract as ops.grain_pallas.add_grain_batch_pallas.  ``bases_up``
+    is accepted for interface parity but unused: the first block row of a
+    frame never blends vertically (ops/grain_fast.py rmask semantics), and
+    every other row's "up" offsets equal the previous row's own offsets,
+    which this engine carries in VMEM across grid steps.
+    """
+    del bases_up
+    F = y.shape[0]
+
+    lat = jax.vmap(
+        lambda b: lfsr.state_lattice_jax(b, y.shape[1] // 16,
+                                         y.shape[2] // 16))(bases)
+
+    bh_c, bw_c = tables["bh_c"], tables["bw_c"]
+    n_ov_c = tables["n_ov_c"]
+    segs = jnp.asarray(tables["seg_starts"])
+    segd = jnp.asarray(tables["seg_deltas"])
+    nseg = int(tables["seg_starts"].shape[1])
+    ss = tables["scale_shift"]
+
+    out = []
+    for c, plane in ((0, y), (1, u), (2, v)):
+        if c == 0:
+            bh, bw, n_ov = 16, 16, 2
+            pat2 = tables["pat2_luma"]
+            imin, imax = tables["y_min"], tables["y_max"]
+        else:
+            bh, bw, n_ov = bh_c, bw_c, n_ov_c
+            pat2 = tables["pat2_chroma"]
+            imin, imax = tables["c_min"], tables["c_max"]
+        t, sign = _lane_arrays(lat, c, csubx, csuby)
+        out.append(_plane_pallas(
+            plane, t, sign, segs[c], segd[c], jnp.asarray(pat2),
+            bh=bh, bw=bw, n_ov=n_ov, nseg=nseg, bs=bs, scale_shift=ss,
+            imin=imin, imax=imax, interpret=interpret))
+    return tuple(out)
+
+
+def make_batched_step(tables: dict, *, height: int, width: int, bs: int,
+                      csubx: int, csuby: int, interpret: bool = False):
+    """jit-compiled batched step closure over static config tables."""
+    fn = functools.partial(
+        add_grain_batch_natural, tables=tables, height=height, width=width,
+        bs=bs, csubx=csubx, csuby=csuby, interpret=interpret)
+    return jax.jit(fn)

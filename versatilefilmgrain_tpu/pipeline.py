@@ -202,11 +202,12 @@ class GrainPipeline:
         # parallelism, stateless crash recovery).
         self.grain_offset = grain_offset
         if engine == "auto":
-            # The Pallas kernel measures ~6x the XLA formulation on TPU
-            # (bench.py, chained-dependency timing); off-TPU it would run in
-            # interpret mode, where the XLA path is the fast one.
+            # The natural-layout Pallas kernel is the fastest engine on TPU
+            # (bench.py, chained-dependency timing: ~2.5x the tiled Pallas
+            # kernel, ~18x the XLA formulation); off-TPU the Pallas kernels
+            # would run in interpret mode, where the XLA path is the fast one.
             import jax
-            engine = "pallas" if jax.default_backend() == "tpu" else "fast"
+            engine = "natural" if jax.default_backend() == "tpu" else "fast"
         self.engine = engine
         self._ft_cache = None  # (generation, tables)
         self._cfg_generation = 0
@@ -246,16 +247,23 @@ class GrainPipeline:
         return self._ft_cache[1]
 
     def _pallas_step(self):
-        """Jitted batched Pallas step for the current config generation.
+        """Jitted batched Pallas step (tiled or natural-layout kernel, per
+        ``self.engine``) for the current config generation.
 
         Runs the real Mosaic kernel on TPU and interpret mode elsewhere
-        (bit-identical integers either way; tests/test_pallas_engine.py)."""
+        (bit-identical integers either way; tests/test_pallas_engine.py,
+        tests/test_natural_engine.py)."""
         import jax
-        from .ops.grain_pallas import make_batched_step, pallas_tables
+        if self.engine == "natural":
+            from .ops.grain_natural import make_batched_step
+            from .ops.grain_natural import natural_tables as mk_tables
+        else:
+            from .ops.grain_pallas import make_batched_step
+            from .ops.grain_pallas import pallas_tables as mk_tables
         if (getattr(self, "_pstep_cache", None) is None
                 or self._pstep_cache[0] != self._cfg_generation):
             step = make_batched_step(
-                pallas_tables(self.regs), height=self.height,
+                mk_tables(self.regs), height=self.height,
                 width=self.width, bs=self.regs.bs, csubx=self.regs.csubx,
                 csuby=self.regs.csuby,
                 interpret=jax.default_backend() != "tpu")
@@ -353,7 +361,7 @@ class GrainPipeline:
             up = yuv.pad_plane(u, R * bhc, C * bwc)
             vp = yuv.pad_plane(v, R * bhc, C * bwc)
         base, base_up = self.frame_bases(n)
-        if self.engine == "pallas":
+        if self.engine in ("pallas", "natural"):
             step = self._pallas_step()
             yo, uo, vo = step(
                 jnp.asarray(yp)[None], jnp.asarray(up)[None],
@@ -474,7 +482,7 @@ class GrainPipeline:
             except OSError:
                 raise OSError(f"Can not create file {dst}")
 
-        if (batch <= 1 or self.engine not in ("fast", "pallas")
+        if (batch <= 1 or self.engine not in ("fast", "pallas", "natural")
                 or self._has_pad_leak()):
             # Pad-leak widths couple consecutive frames through the padding
             # columns (see _has_pad_leak), so they use the per-frame path.
@@ -523,7 +531,7 @@ class GrainPipeline:
 
         def dispatch(ys, us, vs, bases, bases_up):
             # resolved per batch: a config switch invalidates the tables
-            if self.engine == "pallas":
+            if self.engine in ("pallas", "natural"):
                 out = self._pallas_step()(ys, us, vs, bases, bases_up)
             else:
                 from .ops.grain_fast import fast_args
