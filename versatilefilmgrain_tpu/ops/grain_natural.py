@@ -60,19 +60,24 @@ _PACK_SHIFT = 9  # scale in bits 0..8, pattern index in bits 9..12
 # ---------------------------------------------------------------------------
 
 def _pack_pattern2(pattern_class: np.ndarray, bh: int, bw: int, n_ov: int,
-                   ymul: int, xmul: int) -> np.ndarray:
-    """(8*(bh+n_ov), 12*KC) GEMM operand, KC = 16*xmul.
+                   ymul: int, xmul: int, n_pat: int) -> np.ndarray:
+    """(n_pat*(bh+n_ov), 12*KC) GEMM operand, KC = 16*xmul.
 
     Row p*(bh+n_ov)+y, column lq*KC+kc holds pattern[p, lq*ymul + y, kc]:
     contracting against the (k == t[x]) one-hot with
     t[x] = (oy//ymul)*KC + ox + x%bw reproduces the window fetch
     pattern[p, oy + y, ox + x%bw] exactly (kc = ox + x%bw <= 12*xmul + bw - 1
     < KC, rows lq*ymul + y <= 11*ymul + bh + n_ov - 1 < 64).
+
+    ``n_pat`` is the number of pattern planes the pLUT can actually select
+    (max pLUT index + 1): the MXU contraction is linear in M = n_pat*rows,
+    so configs with few patterns (e.g. the default chroma bank: 1) skip the
+    unreachable planes entirely.
     """
     KC = 16 * xmul
     rows = bh + n_ov
-    out = np.zeros((8 * rows, 12 * KC), np.int8)
-    for p in range(8):
+    out = np.zeros((n_pat * rows, 12 * KC), np.int8)
+    for p in range(n_pat):
         for y in range(rows):
             for lq in range(12):
                 out[p * rows + y, lq * KC:(lq + 1) * KC] = \
@@ -83,11 +88,14 @@ def _pack_pattern2(pattern_class: np.ndarray, bh: int, bw: int, n_ov: int,
 def natural_tables(regs) -> dict:
     """Kernel-ready packaging of the register file (cf. fast_tables)."""
     csubx, csuby = regs.csubx, regs.csuby
-    pat2_l = _pack_pattern2(regs.pattern[0], 16, 16, 2, 4, 4)
+    n_pat_l = (int(np.max(np.asarray(regs.plut[0]))) >> 4) + 1
+    n_pat_c = (max(int(np.max(np.asarray(regs.plut[1]))),
+                   int(np.max(np.asarray(regs.plut[2])))) >> 4) + 1
+    pat2_l = _pack_pattern2(regs.pattern[0], 16, 16, 2, 4, 4, n_pat_l)
     bh_c, bw_c = 16 // csuby, 16 // csubx
     n_ov_c = 1 if csuby == 2 else 2
     pat2_c = _pack_pattern2(regs.pattern[1], bh_c, bw_c, n_ov_c,
-                            4 // csuby, 4 // csubx)
+                            4 // csuby, 4 // csubx, n_pat_c)
     seg = [build_segments(regs.slut[c], regs.plut[c]) for c in range(3)]
     S = max(len(s) for s, _ in seg)
     S = -(-S // 8) * 8
@@ -110,84 +118,104 @@ def natural_tables(regs) -> dict:
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _mux8(planes, pi):
-    """Select among 8 same-shape planes with a 3-bit binary tree."""
-    b0 = (pi & 1) == 1
-    b1 = (pi & 2) == 2
-    b2 = (pi & 4) == 4
-    a = jnp.where(b0, planes[1], planes[0])
-    b = jnp.where(b0, planes[3], planes[2])
-    c = jnp.where(b0, planes[5], planes[4])
-    d = jnp.where(b0, planes[7], planes[6])
-    e = jnp.where(b1, b, a)
-    f = jnp.where(b1, d, c)
-    return jnp.where(b2, f, e)
+def _mux(planes, pi):
+    """Select among len(planes) same-shape planes with a binary select tree.
+
+    ``pi`` is bounded by len(planes)-1 (it comes from the same pLUT the
+    plane list was sized from), so odd levels pad with their last entry.
+    """
+    cur = list(planes)
+    bit = 1
+    while len(cur) > 1:
+        if len(cur) % 2:
+            cur.append(cur[-1])
+        sel = (pi & bit) == bit
+        cur = [jnp.where(sel, cur[i + 1], cur[i])
+               for i in range(0, len(cur), 2)]
+        bit <<= 1
+    return cur[0]
 
 
 def _plane_kernel(x_ref, t_ref, sign_ref, segs_ref, segd_ref, pat_ref,
                   out_ref, carry_ref, *, bh: int, bw: int, n_ov: int,
-                  nseg: int, K: int, bs: int, scale_shift: int, imin: int,
-                  imax: int, Wp: int):
-    """One (frame, block-row) strip in natural (bh, Wp) layout."""
-    r = pl.program_id(1)
+                  n_pat: int, rc: int, nseg: int, K: int, bs: int,
+                  scale_shift: int, imin: int, imax: int, Wp: int):
+    """``rc`` (frame, block-row) strips in natural (rc*bh, Wp) layout."""
+    r0 = pl.program_id(1)
     rows = bh + n_ov
 
-    x = x_ref[0].astype(jnp.int32)                         # (bh, Wp)
-    inten = (x >> bs) & 0xFF
+    for j in range(rc):
+        x = x_ref[0, j * bh:(j + 1) * bh].astype(jnp.int32)    # (bh, Wp)
+        inten = (x >> bs) & 0xFF
 
-    # Packed (scale | pattern<<9) via run-length compare/add chain.
-    acc = jnp.zeros_like(inten)
-    for k in range(nseg):
-        acc = acc + jnp.where(inten >= segs_ref[k], segd_ref[k], 0)
-    sc = acc & ((1 << _PACK_SHIFT) - 1)
-    pi = acc >> _PACK_SHIFT
+        # Packed (scale | pattern<<9) via run-length compare/add chain.
+        acc = jnp.zeros_like(inten)
+        for k in range(nseg):
+            acc = acc + jnp.where(inten >= segs_ref[k], segd_ref[k], 0)
+        sc = acc & ((1 << _PACK_SHIFT) - 1)
+        pi = acc >> _PACK_SHIFT
 
-    # All 8 pattern candidates (plus next strip's overlap rows), assembled on
-    # the MXU directly in natural lane order: the contraction over the
-    # (k == t) one-hot IS the window fetch + relayout.
-    t = t_ref[0, 0]                                        # (1, Wp) int32
-    kio = jax.lax.broadcasted_iota(jnp.int32, (K, Wp), 0)
-    onehot = (kio == t).astype(jnp.int8)
-    cand = jax.lax.dot_general(pat_ref[:], onehot, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.int32)  # (M, Wp)
-    cand = cand * sign_ref[0, 0]                           # (1, Wp) broadcast
+        # All n_pat pattern candidates (plus the next strip's overlap rows),
+        # assembled on the MXU directly in natural lane order: the
+        # contraction over the (k == t) one-hot IS the window fetch +
+        # relayout.
+        t = t_ref[0, 0, j:j + 1]                               # (1, Wp)
+        kio = jax.lax.broadcasted_iota(jnp.int32, (K, Wp), 0)
+        onehot = (kio == t).astype(jnp.int8)
+        cand = jax.lax.dot_general(pat_ref[:], onehot,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        cand = cand * sign_ref[0, 0, j:j + 1]                  # (M, Wp)
 
-    # Pattern mux on static row slices (no reshapes -- lane layout untouched).
-    P = _mux8([cand[p * rows:p * rows + bh] for p in range(8)], pi)
-    up_prev = carry_ref[:]                                 # (8*n_ov, Wp)
-    Pu = _mux8([up_prev[p * n_ov:(p + 1) * n_ov] for p in range(8)],
-               pi[:n_ov])
-    carry_ref[:] = jnp.concatenate(
-        [cand[p * rows + bh:(p + 1) * rows] for p in range(8)], axis=0)
+        # Pattern mux on static row slices (lane layout untouched).
+        P = _mux([cand[p * rows:p * rows + bh] for p in range(n_pat)], pi)
+        up_prev = carry_ref[:]                                 # (n_pat*n_ov,)
+        Pu = _mux([up_prev[p * n_ov:(p + 1) * n_ov] for p in range(n_pat)],
+                  pi[:n_ov])
+        carry_ref[:] = jnp.concatenate(
+            [cand[p * rows + bh:(p + 1) * rows] for p in range(n_pat)],
+            axis=0) if n_pat > 1 else cand[bh:rows]
 
-    # Vertical overlap on the first n_ov rows (vfgs_hw.c:223-229), active for
-    # every block row but the frame's first.  Coefficient pairs (12,24)/
-    # (24,12) for suby=1 rows 0/1, (20,20) for suby=2.
-    if n_ov == 1:
-        oc1 = oc2 = 20
-    else:
-        row = jax.lax.broadcasted_iota(jnp.int32, (n_ov, Wp), 0)
-        first = row < 1
-        oc1 = jnp.where(first, 12, 24)
-        oc2 = jnp.where(first, 24, 12)
-    blend = (P[:n_ov] * oc1 + Pu * oc2 + 16) >> 5
-    top = jnp.where(r > 0, blend, P[:n_ov])
-    P = jnp.concatenate([top, P[n_ov:]], axis=0)
+        # Vertical overlap on the first n_ov rows (vfgs_hw.c:223-229),
+        # active for every block row but the frame's first.  Coefficient
+        # pairs (12,24)/(24,12) for suby=1 rows 0/1, (20,20) for suby=2.
+        if n_ov == 1:
+            oc1 = oc2 = 20
+        else:
+            row = jax.lax.broadcasted_iota(jnp.int32, (n_ov, Wp), 0)
+            first = row < 1
+            oc1 = jnp.where(first, 12, 24)
+            oc2 = jnp.where(first, 24, 12)
+        blend = (P[:n_ov] * oc1 + Pu * oc2 + 16) >> 5
+        if j == 0:
+            top = jnp.where(r0 > 0, blend, P[:n_ov])
+        else:
+            top = blend      # an in-step successor row always blends
+        P = jnp.concatenate([top, P[n_ov:]], axis=0)
 
-    # Horizontal deblock at inner block boundaries (vfgs_hw.c:250-258): a
-    # masked 3-tap over lane rolls; both edge values use pre-deblock grain.
-    left = pltpu.roll(P, shift=1, axis=1)                  # P[x-1]
-    right = pltpu.roll(P, shift=Wp - 1, axis=1)            # P[x+1]
-    sm = (left + 3 * P + right + 2) >> 2
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bh, Wp), 1)
-    i = lane & (bw - 1)
-    mask = ((i == 0) & (lane > 0)) | ((i == bw - 1) & (lane < Wp - 1))
-    P = jnp.where(mask, sm, P)
+        # Horizontal deblock at inner block boundaries (vfgs_hw.c:250-258):
+        # a masked 3-tap over lane rolls; both edge values use pre-deblock
+        # grain.
+        left = pltpu.roll(P, shift=1, axis=1)                  # P[x-1]
+        right = pltpu.roll(P, shift=Wp - 1, axis=1)            # P[x+1]
+        sm = (left + 3 * P + right + 2) >> 2
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bh, Wp), 1)
+        i = lane & (bw - 1)
+        mask = ((i == 0) & (lane > 0)) | ((i == bw - 1) & (lane < Wp - 1))
+        P = jnp.where(mask, sm, P)
 
-    # Scale, round, add, clip (vfgs_hw.c:266-276).
-    g = (sc * P + (1 << (scale_shift - 1))) >> scale_shift
-    res = jnp.clip(x + g, imin << bs, imax << bs)
-    out_ref[0] = res.astype(out_ref.dtype)
+        # Scale, round, add, clip (vfgs_hw.c:266-276).
+        g = (sc * P + (1 << (scale_shift - 1))) >> scale_shift
+        res = jnp.clip(x + g, imin << bs, imax << bs)
+        out_ref[0, j * bh:(j + 1) * bh] = res.astype(out_ref.dtype)
+
+
+def _pick_rc(R: int, cap: int = 1) -> int:
+    """Sub-strips per grid step: largest divisor of R up to ``cap``."""
+    for rc in range(cap, 1, -1):
+        if R % rc == 0:
+            return rc
+    return 1
 
 
 def _plane_pallas(xp, t, sign, segs, segd, pat2, *, bh, bw, n_ov, nseg, bs,
@@ -196,13 +224,17 @@ def _plane_pallas(xp, t, sign, segs, segd, pat2, *, bh, bw, n_ov, nseg, bs,
     F, Hp, Wp = xp.shape
     R = Hp // bh
     K = int(pat2.shape[1])
+    rows = bh + n_ov
+    n_pat = int(pat2.shape[0]) // rows
+    rc = _pick_rc(R)
     kern = functools.partial(
-        _plane_kernel, bh=bh, bw=bw, n_ov=n_ov, nseg=nseg, K=K, bs=bs,
-        scale_shift=scale_shift, imin=imin, imax=imax, Wp=Wp)
+        _plane_kernel, bh=bh, bw=bw, n_ov=n_ov, n_pat=n_pat, rc=rc,
+        nseg=nseg, K=K, bs=bs, scale_shift=scale_shift, imin=imin,
+        imax=imax, Wp=Wp)
 
-    strip = pl.BlockSpec((1, bh, Wp), lambda f, r: (f, r, 0),
+    strip = pl.BlockSpec((1, rc * bh, Wp), lambda f, r: (f, r, 0),
                          memory_space=pltpu.VMEM)
-    perlane = pl.BlockSpec((1, 1, 1, Wp), lambda f, r: (f, r, 0, 0),
+    perlane = pl.BlockSpec((1, 1, rc, Wp), lambda f, r: (f, r, 0, 0),
                            memory_space=pltpu.VMEM)
     const2 = pl.BlockSpec(pat2.shape, lambda f, r: (0, 0),
                           memory_space=pltpu.VMEM)
@@ -211,13 +243,14 @@ def _plane_pallas(xp, t, sign, segs, segd, pat2, *, bh, bw, n_ov, nseg, bs,
 
     return pl.pallas_call(
         kern,
-        grid=(F, R),
+        grid=(F, R // rc),
         in_specs=[strip, perlane, perlane, smem1(segs), smem1(segd), const2],
         out_specs=strip,
         out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
-        scratch_shapes=[pltpu.VMEM((8 * n_ov, Wp), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((n_pat * n_ov, Wp), jnp.int32)],
         interpret=interpret,
-    )(xp, t, sign, segs, segd, pat2)
+    )(xp, t.reshape(F, R // rc, rc, Wp), sign.reshape(F, R // rc, rc, Wp),
+      segs, segd, pat2)
 
 
 # ---------------------------------------------------------------------------
