@@ -76,3 +76,29 @@ def test_mesh_invariance(shape):
         assert np.array_equal(np.asarray(yo)[f], ref[f][0]), f"Y frame {f}"
         assert np.array_equal(np.asarray(uo)[f], ref[f][1]), f"U frame {f}"
         assert np.array_equal(np.asarray(vo)[f], ref[f][2]), f"V frame {f}"
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4), (4, 1)])
+def test_mesh_invariance_natural(shape):
+    """The natural-layout Pallas engine (production single-chip default)
+    under shard_map: every mesh shape reproduces the single-device reference
+    engine bit for bit, including tile shards whose first block row blends
+    via the up-state bootstrap instead of the in-grid carry."""
+    nd, nt = shape
+    if len(jax.devices()) < nd * nt:
+        pytest.skip("not enough devices")
+    regs, y, u, v, bases, bases_up = _setup()
+    ref = _reference_frames(regs, y, u, v, bases, bases_up)
+
+    from versatilefilmgrain_tpu.ops.grain_natural import natural_tables
+    m = pmesh.make_mesh(nd, nt)
+    step = pmesh.make_grain_step(m, height=H, width=W, bs=2, csubx=2,
+                                 csuby=2, engine="natural",
+                                 tables=natural_tables(regs),
+                                 interpret=jax.default_backend() != "tpu")
+    yo, uo, vo = step(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                      jnp.asarray(bases), jnp.asarray(bases_up))
+    for f in range(F):
+        assert np.array_equal(np.asarray(yo)[f], ref[f][0]), f"Y frame {f}"
+        assert np.array_equal(np.asarray(uo)[f], ref[f][1]), f"U frame {f}"
+        assert np.array_equal(np.asarray(vo)[f], ref[f][2]), f"V frame {f}"

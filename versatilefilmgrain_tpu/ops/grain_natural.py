@@ -137,12 +137,38 @@ def _mux(planes, pi):
 
 
 def _plane_kernel(x_ref, t_ref, sign_ref, segs_ref, segd_ref, pat_ref,
-                  out_ref, carry_ref, *, bh: int, bw: int, n_ov: int,
+                  *rest, bh: int, bw: int, n_ov: int,
                   n_pat: int, rc: int, nseg: int, K: int, bs: int,
-                  scale_shift: int, imin: int, imax: int, Wp: int):
-    """``rc`` (frame, block-row) strips in natural (rc*bh, Wp) layout."""
+                  scale_shift: int, imin: int, imax: int, Wp: int,
+                  bootstrap: bool = False):
+    """``rc`` (frame, block-row) strips in natural (rc*bh, Wp) layout.
+
+    With ``bootstrap`` (the shard_map path), three extra inputs precede the
+    output ref -- per-frame up-state lane arrays (t_up, sign_up), the
+    up-rows-only pattern operand, and a blend0 scalar -- and the first block
+    row of the local shard seeds the carry from the up state instead of
+    relying on a previous grid step (which lives on the neighbouring shard).
+    """
+    if bootstrap:
+        (tup_ref, sgup_ref, patup_ref, blend0_ref, out_ref,
+         carry_ref) = rest
+    else:
+        out_ref, carry_ref = rest
     r0 = pl.program_id(1)
     rows = bh + n_ov
+
+    if bootstrap:
+        # Seed the carry for the shard's first block row from the up-state
+        # lattice (zero-halo: pattern samples derive from states, not pixels).
+        @pl.when(r0 == 0)
+        def _seed():
+            tu = tup_ref[0, 0, 0:1]                            # (1, Wp)
+            kio = jax.lax.broadcasted_iota(jnp.int32, (K, Wp), 0)
+            ohu = (kio == tu).astype(jnp.int8)
+            cu = jax.lax.dot_general(patup_ref[:], ohu,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+            carry_ref[:] = cu * sgup_ref[0, 0, 0:1]
 
     for j in range(rc):
         x = x_ref[0, j * bh:(j + 1) * bh].astype(jnp.int32)    # (bh, Wp)
@@ -188,7 +214,10 @@ def _plane_kernel(x_ref, t_ref, sign_ref, segs_ref, segd_ref, pat_ref,
             oc2 = jnp.where(first, 24, 12)
         blend = (P[:n_ov] * oc1 + Pu * oc2 + 16) >> 5
         if j == 0:
-            top = jnp.where(r0 > 0, blend, P[:n_ov])
+            do_blend = r0 > 0
+            if bootstrap:
+                do_blend = do_blend | (blend0_ref[0] != 0)
+            top = jnp.where(do_blend, blend, P[:n_ov])
         else:
             top = blend      # an in-step successor row always blends
         P = jnp.concatenate([top, P[n_ov:]], axis=0)
@@ -219,8 +248,13 @@ def _pick_rc(R: int, cap: int = 1) -> int:
 
 
 def _plane_pallas(xp, t, sign, segs, segd, pat2, *, bh, bw, n_ov, nseg, bs,
-                  scale_shift, imin, imax, interpret=False):
-    """pallas_call wrapper: xp (F, R*bh, Wp) natural plane -> same shape."""
+                  scale_shift, imin, imax, interpret=False, boot=None):
+    """pallas_call wrapper: xp (F, R*bh, Wp) natural plane -> same shape.
+
+    ``boot`` (shard_map path) is (t_up, sign_up, blend0): per-frame up-state
+    lane arrays (F, 1, Wp) seeding the first local block row's carry, and a
+    (1,) int32 flag saying whether that row blends (tile shards above the
+    frame top do; the frame's own first row does not)."""
     F, Hp, Wp = xp.shape
     R = Hp // bh
     K = int(pat2.shape[1])
@@ -230,27 +264,46 @@ def _plane_pallas(xp, t, sign, segs, segd, pat2, *, bh, bw, n_ov, nseg, bs,
     kern = functools.partial(
         _plane_kernel, bh=bh, bw=bw, n_ov=n_ov, n_pat=n_pat, rc=rc,
         nseg=nseg, K=K, bs=bs, scale_shift=scale_shift, imin=imin,
-        imax=imax, Wp=Wp)
+        imax=imax, Wp=Wp, bootstrap=boot is not None)
 
     strip = pl.BlockSpec((1, rc * bh, Wp), lambda f, r: (f, r, 0),
                          memory_space=pltpu.VMEM)
     perlane = pl.BlockSpec((1, 1, rc, Wp), lambda f, r: (f, r, 0, 0),
                            memory_space=pltpu.VMEM)
-    const2 = pl.BlockSpec(pat2.shape, lambda f, r: (0, 0),
-                          memory_space=pltpu.VMEM)
+    const2 = lambda a: pl.BlockSpec(a.shape, lambda f, r: (0, 0),
+                                    memory_space=pltpu.VMEM)
     smem1 = lambda a: pl.BlockSpec(a.shape, lambda f, r: (0,),
                                    memory_space=pltpu.SMEM)
+
+    in_specs = [strip, perlane, perlane, smem1(segs), smem1(segd),
+                const2(pat2)]
+    args = [xp, t.reshape(F, R // rc, rc, Wp),
+            sign.reshape(F, R // rc, rc, Wp), segs, segd, pat2]
+    if boot is not None:
+        t_up, sign_up, blend0 = boot
+        pat2_up = _up_rows(pat2, bh, n_ov, n_pat)
+        perframe = pl.BlockSpec((1, 1, 1, Wp), lambda f, r: (f, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs += [perframe, perframe, const2(pat2_up), smem1(blend0)]
+        args += [t_up.reshape(F, 1, 1, Wp), sign_up.reshape(F, 1, 1, Wp),
+                 pat2_up, blend0]
 
     return pl.pallas_call(
         kern,
         grid=(F, R // rc),
-        in_specs=[strip, perlane, perlane, smem1(segs), smem1(segd), const2],
+        in_specs=in_specs,
         out_specs=strip,
         out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
         scratch_shapes=[pltpu.VMEM((n_pat * n_ov, Wp), jnp.int32)],
         interpret=interpret,
-    )(xp, t.reshape(F, R // rc, rc, Wp), sign.reshape(F, R // rc, rc, Wp),
-      segs, segd, pat2)
+    )(*args)
+
+
+def _up_rows(pat2, bh, n_ov, n_pat):
+    """(n_pat*n_ov, K) operand holding only the overlap rows of ``pat2``."""
+    rows = bh + n_ov
+    return jnp.concatenate(
+        [pat2[p * rows + bh:(p + 1) * rows] for p in range(n_pat)], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -324,3 +377,44 @@ def make_batched_step(tables: dict, *, height: int, width: int, bs: int,
         add_grain_batch_natural, tables=tables, height=height, width=width,
         bs=bs, csubx=csubx, csuby=csuby, interpret=interpret)
     return jax.jit(fn)
+
+
+def add_grain_shard_natural(y, u, v, states, states_up, ov_mask,
+                            tables: dict, *, bs: int, csubx: int, csuby: int,
+                            interpret: bool = False):
+    """Per-shard natural-engine step (a ``shard_map`` body; parallel/mesh.py).
+
+    ``states``/``states_up``: (F, R_local, C) uint32 lattices for the local
+    frame x block-row shard (only row 0 of ``states_up`` is consumed -- the
+    carry covers every later row); ``ov_mask``: (R_local,) bool, whose first
+    entry says whether the shard's first block row blends vertically (tile
+    shards below the frame top do).  Zero halo: the up row's candidates are
+    recomputed from ``states_up`` on this shard, exactly like
+    ops.grain_fast.plane_grain_fast does.
+    """
+    segs = jnp.asarray(tables["seg_starts"])
+    segd = jnp.asarray(tables["seg_deltas"])
+    nseg = int(tables["seg_starts"].shape[1])
+    ss = tables["scale_shift"]
+    bh_c, bw_c = tables["bh_c"], tables["bw_c"]
+    n_ov_c = tables["n_ov_c"]
+    blend0 = ov_mask[0].astype(jnp.int32).reshape(1)
+
+    out = []
+    for c, plane in ((0, y), (1, u), (2, v)):
+        if c == 0:
+            bh, bw, n_ov = 16, 16, 2
+            pat2 = tables["pat2_luma"]
+            imin, imax = tables["y_min"], tables["y_max"]
+        else:
+            bh, bw, n_ov = bh_c, bw_c, n_ov_c
+            pat2 = tables["pat2_chroma"]
+            imin, imax = tables["c_min"], tables["c_max"]
+        t, sign = _lane_arrays(states, c, csubx, csuby)
+        t_up, sign_up = _lane_arrays(states_up[:, :1], c, csubx, csuby)
+        out.append(_plane_pallas(
+            plane, t, sign, segs[c], segd[c], jnp.asarray(pat2),
+            bh=bh, bw=bw, n_ov=n_ov, nseg=nseg, bs=bs, scale_shift=ss,
+            imin=imin, imax=imax, interpret=interpret,
+            boot=(t_up, sign_up, blend0)))
+    return tuple(out)

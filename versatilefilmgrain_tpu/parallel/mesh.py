@@ -31,7 +31,10 @@ try:  # jax >= 0.4.35
     from jax import shard_map as _shard_map
 
     def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        # check_vma=False: pallas_call outputs (the natural engine) carry no
+        # varying-mesh-axes annotation; the sharding itself is still checked.
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map as _shard_map_old
 
@@ -66,7 +69,8 @@ def default_mesh_shape(n_devices: int, rows: int) -> tuple[int, int]:
 
 
 def make_grain_step(mesh: Mesh, *, height: int, width: int, bs: int,
-                    csubx: int, csuby: int, engine: str = "fast"):
+                    csubx: int, csuby: int, engine: str = "fast",
+                    tables: dict | None = None, interpret: bool = False):
     """Build a jitted multi-device grain step over ``mesh``.
 
     Returned fn signature (fast engine, the default):
@@ -75,6 +79,12 @@ def make_grain_step(mesh: Mesh, *, height: int, width: int, bs: int,
     with y: (F, R*16, C*16) (F divisible by mesh 'data' size, R divisible by
     mesh 'tile' size), bases/bases_up: (F,) uint32 per-frame lattice bases.
     With engine="ref", the table args are (pattern, sluts, pluts) instead.
+
+    With engine="natural", pass ``tables=natural_tables(regs)`` here and call
+    ``step(y, u, v, bases, bases_up)`` -- each shard runs the natural-layout
+    Pallas kernel (ops/grain_natural.py), the production single-chip engine,
+    with its first local block row's overlap carry seeded from the up-state
+    lattice (still zero halo).
     """
     R = -(-height // 16)
     C = -(-width // 16)
@@ -83,7 +93,15 @@ def make_grain_step(mesh: Mesh, *, height: int, width: int, bs: int,
     state_spec = P("data", "tile", None)
     rep = P()
 
-    if engine == "fast":
+    if engine == "natural":
+        import functools as _ft
+        from ..ops.grain_natural import add_grain_shard_natural
+        assert tables is not None, "engine='natural' needs tables="
+
+        _step = _ft.partial(add_grain_shard_natural, tables=tables, bs=bs,
+                            csubx=csubx, csuby=csuby, interpret=interpret)
+        n_tables = None
+    elif engine == "fast":
         def _step(y, u, v, states, states_up, ov_mask, win_luma, win_luma_up,
                   win_chroma, win_chroma_up, seg_starts, seg_deltas,
                   scale_shift, y_min, y_max, c_min, c_max):
@@ -119,10 +137,11 @@ def make_grain_step(mesh: Mesh, *, height: int, width: int, bs: int,
                     one(2, v, c_min, c_max))
         n_tables = 3
 
+    extra = (rep,) * (n_tables + 5) if n_tables is not None else ()
     sharded = shard_map(
         _step, mesh,
         in_specs=(plane_spec, plane_spec, plane_spec, state_spec, state_spec,
-                  P("tile")) + (rep,) * (n_tables + 5),
+                  P("tile")) + extra,
         out_specs=(plane_spec, plane_spec, plane_spec))
 
     @jax.jit
