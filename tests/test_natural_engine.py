@@ -113,3 +113,95 @@ def test_run_file_engine_natural(tmp_path):
         assert n == nfr
         outs[engine] = dst.read_bytes()
     assert outs["fast"] == outs["natural"]
+
+
+def _random_sei(rng):
+    """A random legal FGC SEI: random interval count/bounds (exercises nseg
+    and n_pat variation), FF cutoffs or AR coefficients, random scale shift."""
+    from versatilefilmgrain_tpu.models import config as cfgmod
+
+    sei = cfgmod.default_sei()
+    sei.model_id = int(rng.integers(0, 2))
+    sei.log2_scale_factor = int(rng.integers(2, 8))
+    sei.comp_model_present_flag = [1, int(rng.integers(0, 2)),
+                                   int(rng.integers(0, 2))]
+    for c in range(3):
+        n = int(rng.integers(1, 17))
+        sei.num_intensity_intervals[c] = n
+        bounds = np.sort(rng.choice(256, size=2 * n, replace=False))
+        sei.intensity_interval_lower_bound[c, :n] = bounds[0::2]
+        sei.intensity_interval_upper_bound[c, :n] = bounds[1::2]
+        sei.comp_model_value[c, :, :] = 0
+        if sei.model_id == 0:
+            sei.num_model_values[c] = 3
+            for i in range(n):
+                sei.comp_model_value[c, i, :3] = [
+                    int(rng.integers(0, 256)), int(rng.integers(2, 15)),
+                    int(rng.integers(2, 15))]
+        else:
+            sei.num_model_values[c] = 6
+            for i in range(n):
+                sei.comp_model_value[c, i, :6] = [
+                    int(rng.integers(0, 200)), int(rng.integers(-20, 21)),
+                    int(rng.integers(-10, 11)), int(rng.integers(-20, 21)),
+                    int(rng.integers(0, 64)), int(rng.integers(-10, 11))]
+    return sei
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_natural_matches_fast_random_cfg(seed):
+    """Differential fuzz: random SEI configs (random interval counts, pattern
+    counts, scale shifts, FF and AR modes) through both engines."""
+    from versatilefilmgrain_tpu.models import fw
+    from versatilefilmgrain_tpu.models.hw import HwRegs
+
+    rng = np.random.default_rng(1000 + seed)
+    depth = int(rng.choice([8, 10]))
+    csub = [(2, 2), (2, 1), (1, 1)][int(rng.integers(0, 3))]
+    H, W = 96, 192
+    R, C = H // 16, W // 16
+    csubx, csuby = csub
+    bs = depth - 8
+
+    regs = HwRegs()
+    regs.set_depth(depth)
+    regs.set_chroma_subsampling(csubx, csuby)
+    try:
+        fw.init_sei(_random_sei(rng), regs)
+    except ValueError:
+        pytest.skip("random config rejected by init (legal-range check)")
+
+    hi = (1 << depth) - 1
+    dt = np.uint8 if depth == 8 else np.uint16
+    y = rng.integers(0, hi + 1, (R * 16, C * 16)).astype(dt)
+    u = rng.integers(0, hi + 1,
+                     (R * (16 // csuby), C * (16 // csubx))).astype(dt)
+    v = rng.integers(0, hi + 1,
+                     (R * (16 // csuby), C * (16 // csubx))).astype(dt)
+
+    frames = (0, 2)
+    bases, bases_up = [], []
+    for f in frames:
+        e0 = lfsr.frame_base_exponent(f, R, C)
+        bases.append(int(lfsr.advance(np.uint32(regs.seed_state), e0)))
+        bases_up.append(int(lfsr.advance(np.uint32(regs.seed_state), e0 - C))
+                        if e0 else bases[-1])
+
+    nt = natural_tables(regs)
+    nout = add_grain_batch_natural(
+        jnp.asarray(np.stack([y] * len(frames))),
+        jnp.asarray(np.stack([u] * len(frames))),
+        jnp.asarray(np.stack([v] * len(frames))),
+        jnp.asarray(np.array(bases, np.uint32)),
+        jnp.asarray(np.array(bases_up, np.uint32)),
+        nt, height=H, width=W, bs=bs, csubx=csubx, csuby=csuby,
+        interpret=True)
+    ft = fast_tables(regs)
+    for fi, f in enumerate(frames):
+        fast = add_grain_frame_fast_jit(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            jnp.uint32(bases[fi]), jnp.uint32(bases_up[fi]), *fast_args(ft),
+            height=H, width=W, bs=bs, csubx=csubx, csuby=csuby)
+        for p, (r, q) in enumerate(zip(fast, nout)):
+            assert np.array_equal(np.asarray(r), np.asarray(q)[fi]), \
+                f"seed {seed} frame {f} plane {p}"
