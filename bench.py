@@ -48,6 +48,12 @@ import time
 
 import numpy as np
 
+# Persistent compilation cache: the platform's remote-compile service has
+# high latency variance (observed 5 s to >400 s for the same program), so
+# never compile the same executable twice across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_vfg")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 H, W = 2160, 3840
 FRAMES_BATCH = 8   # amortizes dispatch + lattice setup on v5e
 N_SHORT = 8        # short chain length
@@ -120,12 +126,22 @@ def _chain_fps(step, state0, cargs) -> float:
              + int(state[2][0, 0, 0]))
         return time.perf_counter() - t0
 
+    dbg = os.environ.get("BENCH_DEBUG")
+
+    def _d(msg):
+        if dbg:
+            print(f"bench-debug: {msg}", file=sys.stderr, flush=True)
+
+    _d("warm chain(1)")
     chain(1)  # compile + warm
     n_long = N_LONG
     for _ in range(10):
+        _d(f"pilot chain({N_SHORT})")
         t1 = chain(N_SHORT)
+        _d(f"pilot chain({n_long})")
         t2 = chain(n_long)
         span = t2 - t1
+        _d(f"span {span:.3f}s")
         if span >= MIN_SPAN or n_long >= N_CAP:
             break
         est = span / (n_long - N_SHORT) if span > 0 else 0.0
@@ -212,8 +228,18 @@ def bench_tpu() -> dict:
     fps2 = _chain_fps(step, state0, cargs)
 
     # Materialize a full-output checksum (outside the timed region) so the
-    # final state is consumed end to end.
+    # final state is consumed end to end, and gate the real-Mosaic kernels:
+    # every engine that ran must produce identical integers on this device.
     out = fast_step(*state0, *cargs)
+    for ename, estep, efps in (("pallas", pallas_step, pallas_fps),
+                               ("natural", natural_step, natural_fps)):
+        if not efps:
+            continue
+        eout = estep(*state0, *cargs)
+        for p in range(3):
+            assert jnp.array_equal(out[p], eout[p]), (
+                f"{ename} engine diverges from the XLA engine on-device "
+                f"(plane {p}) — Mosaic kernel bug")
     csum = int(jnp.sum(out[0].astype(jnp.uint32))
                + jnp.sum(out[1].astype(jnp.uint32))
                + jnp.sum(out[2].astype(jnp.uint32)))
