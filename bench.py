@@ -210,9 +210,13 @@ def bench_tpu() -> dict:
         step = mk(tables, height=H, width=W, bs=2, csubx=2, csuby=2)
         try:
             return step, _chain_fps(step, state0, cargs)
-        except Exception as e:  # platform without Pallas TPU support
-            print(f"bench: engine unavailable ({type(e).__name__}: {e})",
-                  file=sys.stderr)
+        except Exception as e:
+            if jax.default_backend() == "tpu":
+                # On TPU a Pallas engine failing is a kernel regression, not
+                # a platform limitation: fail the bench loudly.
+                raise
+            print(f"bench: engine unavailable off-TPU "
+                  f"({type(e).__name__}: {e})", file=sys.stderr)
             return step, 0.0
 
     pallas_step, pallas_fps = _try_engine(make_batched_step,

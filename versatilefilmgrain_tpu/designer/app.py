@@ -62,6 +62,15 @@ class DesignerApp:
         self.mode = 3              # 0=Y 1=Cb 2=Cr 3=RGB
         self._pan = None           # (press_px, press_py, center_at_press)
 
+        # Our key bindings shadow matplotlib's stock keymap ('f' fullscreen,
+        # 'l' y-log-scale, 'o' zoom, 'r' home, ...): strip the colliding
+        # defaults so a keypress runs exactly one handler.
+        ours = set("123owrlm+=-0fq")
+        for key, val in plt.rcParams.items():
+            if key.startswith("keymap."):
+                for ch in [c for c in list(val) if c in ours]:
+                    val.remove(ch)
+
         self.fig = plt.figure("vfg-tpu grain designer", figsize=(13, 7))
         gs = self.fig.add_gridspec(2, 2, width_ratios=[1.0, 1.6],
                                    height_ratios=[1.0, 0.12])
@@ -215,7 +224,14 @@ class DesignerApp:
             except Exception:
                 pass
         if os.path.exists(path):
-            self.design.load(path)
+            try:
+                self.design.load(path)
+            except Exception as e:   # malformed / AFGS1 cfg: report, keep UI
+                print(f"[designer] load failed: {e}")
+                return
+            # Sync the sliders to the loaded design so the next slider touch
+            # does not write a stale value back over it.
+            self.s_scale.set_val(self.design.log2_scale_factor)
             self.redraw(regrain=True)
             print(f"[designer] loaded {path}")
         else:

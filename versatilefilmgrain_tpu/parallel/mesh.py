@@ -28,19 +28,27 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.4.35
+    import inspect
+
     from jax import shard_map as _shard_map
 
+    # pallas_call outputs (the natural engine) carry no varying-mesh-axes
+    # annotation, so the vma/rep check must be off; the kwarg was renamed
+    # check_rep -> check_vma across jax versions, so probe the signature.
+    _params = inspect.signature(_shard_map).parameters
+    _CHECK_KW = ({"check_vma": False} if "check_vma" in _params
+                 else {"check_rep": False} if "check_rep" in _params
+                 else {})
+
     def shard_map(f, mesh, in_specs, out_specs):
-        # check_vma=False: pallas_call outputs (the natural engine) carry no
-        # varying-mesh-axes annotation; the sharding itself is still checked.
         return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                          out_specs=out_specs, check_vma=False)
+                          out_specs=out_specs, **_CHECK_KW)
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map as _shard_map_old
 
     def shard_map(f, mesh, in_specs, out_specs):
         return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
-                              out_specs=out_specs)
+                              out_specs=out_specs, check_rep=False)
 
 from ..ops import lfsr
 from ..ops.grain_fast import plane_grain_fast
