@@ -191,16 +191,20 @@ def _plane_kernel(x_ref, t_ref, sign_ref, segs_ref, segd_ref, pat_ref,
         cand = jax.lax.dot_general(pat_ref[:], onehot,
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.int32)
-        cand = cand * sign_ref[0, 0, j:j + 1]                  # (M, Wp)
 
-        # Pattern mux on static row slices (lane layout untouched).
-        P = _mux([cand[p * rows:p * rows + bh] for p in range(n_pat)], pi)
+        # Pattern mux on static row slices (lane layout untouched).  The
+        # per-lane sign is uniform across candidate rows, so it commutes with
+        # the mux: applying it post-mux (bh + n_pat*n_ov rows) instead of to
+        # all M rows saves most of the multiplies.
+        sg = sign_ref[0, 0, j:j + 1]                           # (1, Wp)
+        P = _mux([cand[p * rows:p * rows + bh] for p in range(n_pat)],
+                 pi) * sg
         up_prev = carry_ref[:]                                 # (n_pat*n_ov,)
         Pu = _mux([up_prev[p * n_ov:(p + 1) * n_ov] for p in range(n_pat)],
                   pi[:n_ov])
         carry_ref[:] = jnp.concatenate(
             [cand[p * rows + bh:(p + 1) * rows] for p in range(n_pat)],
-            axis=0) if n_pat > 1 else cand[bh:rows]
+            axis=0) * sg if n_pat > 1 else cand[bh:rows] * sg
 
         # Vertical overlap on the first n_ov rows (vfgs_hw.c:223-229),
         # active for every block row but the frame's first.  Coefficient
