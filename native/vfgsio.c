@@ -1,8 +1,9 @@
 /* vfgsio -- native pipelined frame I/O for the TPU grain engine.
  *
  * The reference model does synchronous row-wise stdio per frame
- * (yuv.c:162-214), which serializes disk I/O with compute.  At TPU speeds
- * (>4000 frames/s of 4K), feeding the device is the bottleneck, so this
+ * (yuv.c:162-214), which serializes disk I/O with compute.  At TPU engine
+ * speeds (thousands of 4K frames/s on-device; see BENCH_r*.json for the
+ * current measured number), feeding the device is the bottleneck, so this
  * library provides:
  *
  *   - a reader with a background pthread that prefetches whole frames into a

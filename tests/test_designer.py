@@ -80,3 +80,58 @@ def test_yuv_to_rgb_shapes():
     assert rgb.shape == (32, 64, 3)
     # mid-gray: all channels near equal
     assert np.allclose(rgb[0, 0], rgb[0, 0][0], atol=0.02)
+
+
+def test_sinc_upsampler_matches_reference_transcription():
+    """The preview's windowed-sinc chroma upsample must match a direct
+    scipy transcription of the reference's yuv444
+    (/root/reference/fgc-designer.py:253-272): horizontal co-sited
+    (f = sinc(-1.5..1.5) normalized, odd columns interleaved), vertical
+    midpoint (f = [0, sinc(-1.25..1.75)] normalized, both phases)."""
+    scipy_ndimage = pytest.importorskip("scipy.ndimage")
+    from versatilefilmgrain_tpu.designer.preview import upsample_chroma_sinc
+
+    rng = np.random.default_rng(7)
+    yf = rng.normal(size=(24, 40)).astype(np.float64)
+    uf = rng.normal(size=(12, 20)).astype(np.float64)
+    vf = rng.normal(size=(12, 20)).astype(np.float64)
+
+    def ref_yuv444(Y, U, V):
+        if 2 * np.shape(U)[1] == np.shape(Y)[1]:
+            f = np.sinc(np.arange(-1.5, 1.6))
+            f /= np.sum(f)
+            sz = list(U.shape)
+            sz[1] *= 2
+            U = np.reshape(np.vstack(
+                (U, scipy_ndimage.convolve1d(U, f, axis=1, mode="nearest"))),
+                sz, order="F")
+            V = np.reshape(np.vstack(
+                (V, scipy_ndimage.convolve1d(V, f, axis=1, mode="nearest"))),
+                sz, order="F")
+        if 2 * np.shape(U)[0] == np.shape(Y)[0]:
+            f = np.append(0, np.sinc(np.arange(-1.25, 1.76)))
+            f /= np.sum(f)
+            sz = list(U.shape)
+            sz[0] *= 2
+            U = np.reshape(np.hstack(
+                (scipy_ndimage.convolve1d(U, f, axis=0, mode="nearest"),
+                 scipy_ndimage.convolve1d(U, np.flip(f), axis=0,
+                                          mode="nearest"))), sz, order="C")
+            V = np.reshape(np.hstack(
+                (scipy_ndimage.convolve1d(V, f, axis=0, mode="nearest"),
+                 scipy_ndimage.convolve1d(V, np.flip(f), axis=0,
+                                          mode="nearest"))), sz, order="C")
+        return U, V
+
+    want_u, want_v = ref_yuv444(yf, uf, vf)
+    got_u, got_v = upsample_chroma_sinc(yf, uf, vf)
+    assert np.allclose(got_u, want_u, atol=1e-12)
+    assert np.allclose(got_v, want_v, atol=1e-12)
+
+    # 4:2:2 (horizontal only) and 4:4:4 (no-op) paths
+    uf2 = rng.normal(size=(24, 20))
+    got_u2, _ = upsample_chroma_sinc(yf, uf2, uf2.copy())
+    want_u2, _ = ref_yuv444(yf, uf2, uf2.copy())
+    assert np.allclose(got_u2, want_u2, atol=1e-12)
+    got_u3, _ = upsample_chroma_sinc(yf, yf.copy(), yf.copy())
+    assert np.array_equal(got_u3, yf)

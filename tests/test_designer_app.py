@@ -87,28 +87,41 @@ def test_slider_gain(app):
 
 
 def test_scroll_zoom_and_reset(app):
-    """Scroll on the preview zooms toward the cursor; '0' resets."""
-    assert app.zoom == 1.0
+    """Scroll on the preview zooms toward the cursor at native display
+    pixels (reference ladder: ... 1/3, 1/2, 1, 2, 3, 4); '0' resets to
+    fit."""
+    assert app.zoom is None                      # initial view fits
+    x0, x1 = app.ax_img.get_xlim()
+    assert abs((x1 - x0) - 256) < 1e-6
+    app._on_scroll(_ev(app.ax_img, 40.0, 30.0, step=1))
+    assert app.zoom == 1.0                       # fit -> native 1:1
+    bw, _ = app._view_px()
+    x0, x1 = app.ax_img.get_xlim()
+    assert abs((x1 - x0) - bw) < 1e-6            # one image px per pane px
     app._on_scroll(_ev(app.ax_img, 40.0, 30.0, step=1))
     assert app.zoom == 2.0
-    # window halves and is centered near the cursor (clamped to the image)
     x0, x1 = app.ax_img.get_xlim()
-    assert abs((x1 - x0) - 256 / 2) < 1e-6
-    assert app.view_center[0] == 64.0 - 0.5  # clamped: 40 < ww/2 - 0.5
+    assert abs((x1 - x0) - bw / 2) < 1e-6
     app._on_scroll(_ev(app.ax_img, 40.0, 30.0, step=-1))
+    app._on_scroll(_ev(app.ax_img, 40.0, 30.0, step=-1))
+    assert app.zoom == 0.5                       # harmonic below 1
+    app._on_scroll(_ev(app.ax_img, 40.0, 30.0, step=-1))
+    assert abs(app.zoom - 1 / 3) < 1e-9
+    app._on_key(types.SimpleNamespace(key="+"))
+    app._on_key(types.SimpleNamespace(key="+"))
     assert app.zoom == 1.0
-    app._on_key(types.SimpleNamespace(key="+"))
-    app._on_key(types.SimpleNamespace(key="+"))
-    assert app.zoom == 3.0
     app._on_key(types.SimpleNamespace(key="0"))
-    assert app.zoom == 1.0
+    assert app.zoom is None
     x0, x1 = app.ax_img.get_xlim()
     assert abs((x1 - x0) - 256) < 1e-6
 
 
 def test_pan_clamped(app):
     """Left-drag on the preview pans; the view never leaves the image."""
-    app._on_key(types.SimpleNamespace(key="+"))  # zoom 2
+    for _ in range(4):                           # zoom to 4 (view < image)
+        app._on_key(types.SimpleNamespace(key="+"))
+    assert app.zoom == 4.0
+    assert app._view_px()[0] / 4 < 256           # window fits inside
     c0 = app.view_center
     app._on_press(_ev(app.ax_img, 10.0, 10.0, px=100.0, py=100.0))
     assert app._pan is not None

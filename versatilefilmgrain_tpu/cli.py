@@ -51,7 +51,7 @@ def help_text(name: str) -> str:
         "   --batch        <value>          Frames per device dispatch [4]\n"
         "   --engine       <name>           Compute engine: auto (natural on TPU, fast\n"
         "                                   elsewhere), natural, pallas, fast (XLA), ref\n"
-        "                                   [auto: pallas on TPU, fast elsewhere]\n"
+        "                                   [auto: natural on TPU, fast elsewhere]\n"
         "   --grain-offset <value>          Global grain-state frame offset (use with -s\n"
         "                                   for bit-exact frame sharding) [0]\n"
         "   --profile      <dir>            Capture a jax.profiler trace\n"

@@ -56,7 +56,7 @@ class DesignerApp:
         self.show_original = False
         self._drag = None  # (kind, c, k) kind in {lower, upper, scale, freq}
         # preview view state (reference Preview, fgc-designer.py:326-485)
-        self.zoom = 1.0            # 1 = whole image fits the pane
+        self.zoom = None           # None = fit; else native px per image px
         self.view_center = None    # (x, y) image coords; None = centered
         self.fullscreen = False
         self.mode = 3              # 0=Y 1=Cb 2=Cr 3=RGB
@@ -164,14 +164,25 @@ class DesignerApp:
 
     # -- preview view: zoom / pan / fullscreen / mode ---------------------
     # Capability parity with the reference's Preview window
-    # (fgc-designer.py:326-485), expressed backend-portably: zoom 1 fits
-    # the whole image in the pane and integer zoom steps magnify from
-    # there (the reference anchors zoom 1 at native display pixels of a
-    # free-floating window instead).
+    # (fgc-designer.py:326-485): zoom is anchored at NATIVE display pixels
+    # -- zoom 1 shows one image pixel per display pixel, integer steps
+    # above 1 and harmonic steps (1/2, 1/3, 1/4) below, exactly the
+    # reference's on_scroll ladder (fgc-designer.py:409-425).  One
+    # extension: the initial view (zoom None, key '0') fits the whole image
+    # in the pane so a 4K frame is not a blind crop on open.
+
+    def _view_px(self):
+        """Preview pane size in display pixels."""
+        bb = self.ax_img.get_window_extent()
+        return max(bb.width, 1.0), max(bb.height, 1.0)
 
     def _apply_view(self):
         w, h = self._imsize
-        ww, wh = w / self.zoom, h / self.zoom
+        if self.zoom is None:                    # fit the whole image
+            ww, wh = w, h
+        else:                                    # native-pixel anchored
+            bw, bh = self._view_px()
+            ww, wh = bw / self.zoom, bh / self.zoom
         cx, cy = self.view_center or (w / 2 - 0.5, h / 2 - 0.5)
         # clamp the view window to the image
         cx = min(max(cx, ww / 2 - 0.5), w - ww / 2 - 0.5)
@@ -181,25 +192,37 @@ class DesignerApp:
         self.ax_img.set_ylim(cy + wh / 2, cy - wh / 2)   # image y-down
         title = "original" if self.show_original else "grained"
         title += f"  [{('Y', 'Cb', 'Cr', 'RGB')[self.mode]}"
-        if self.zoom != 1.0:
+        if self.zoom is not None:
             title += f", zoom {round(self.zoom * 100)} %"
         self.ax_img.set_title(title + "]")
 
-    def _set_zoom(self, zoom: float, at=None):
-        zoom = min(max(zoom, 1.0), 8.0)
+    def _set_zoom(self, zoom: float | None, at=None):
+        if zoom is not None:
+            zoom = min(max(zoom, 0.25), 4.0)     # reference clip (1/4 .. 4)
         if zoom == self.zoom:
             return
-        if at is not None and zoom > 1.0:
+        if at is not None and zoom is not None:
             self.view_center = at                # zoom toward the cursor
         self.zoom = zoom
         self._apply_view()
         self.fig.canvas.draw_idle()
 
+    def _zoom_step(self, up: bool):
+        """The reference's zoom ladder: ... 1/3, 1/2, 1, 2, 3, 4."""
+        z = self.zoom
+        if z is None:
+            return 1.0 if up else None           # leave 'fit' at native 1:1
+        if up:
+            return z + 1 if z >= 1.0 else 1.0 / (1.0 / z - 1.0)
+        return z - 1 if z > 1.0 else 1.0 / (1.0 / z + 1.0)
+
     def _on_scroll(self, ev):
         if ev.inaxes is not self.ax_img:
             return
         at = (ev.xdata, ev.ydata) if ev.xdata is not None else None
-        self._set_zoom(self.zoom + (1 if ev.step > 0 else -1), at=at)
+        z = self._zoom_step(ev.step > 0)
+        if z is not None:
+            self._set_zoom(z, at=at)
 
     def _toggle_fullscreen(self):
         self.fullscreen = not self.fullscreen
@@ -230,8 +253,13 @@ class DesignerApp:
                 print(f"[designer] load failed: {e}")
                 return
             # Sync the sliders to the loaded design so the next slider touch
-            # does not write a stale value back over it.
-            self.s_scale.set_val(self.design.log2_scale_factor)
+            # does not write a stale value back over it; suppress the slider
+            # callback so the preview regrains once, not twice.
+            self.s_scale.eventson = False
+            try:
+                self.s_scale.set_val(self.design.log2_scale_factor)
+            finally:
+                self.s_scale.eventson = True
             self.redraw(regrain=True)
             print(f"[designer] loaded {path}")
         else:
@@ -285,10 +313,12 @@ class DesignerApp:
             if ev.x is None or ev.y is None:
                 return
             px, py, (cx, cy) = self._pan
-            bbox = self.ax_img.get_window_extent()
+            bw, bh = self._view_px()
             w, h = self._imsize
-            sx = (w / self.zoom) / max(bbox.width, 1.0)
-            sy = (h / self.zoom) / max(bbox.height, 1.0)
+            if self.zoom is None:                # fit: image px per pane px
+                sx, sy = w / bw, h / bh
+            else:                                # native: 1/zoom px per px
+                sx = sy = 1.0 / self.zoom
             # display y is up, image y is down: both deltas flip sign once
             self.view_center = (cx - (ev.x - px) * sx,
                                 cy + (ev.y - py) * sy)
@@ -345,11 +375,15 @@ class DesignerApp:
             self.mode = (self.mode + 1) % 4
             self.redraw()
         elif ev.key in ("+", "="):
-            self._set_zoom(self.zoom + 1)
+            z = self._zoom_step(True)
+            if z is not None:
+                self._set_zoom(z)
         elif ev.key == "-":
-            self._set_zoom(self.zoom - 1)
-        elif ev.key == "0":          # reset view
-            self.zoom, self.view_center = 1.0, None
+            z = self._zoom_step(False)
+            if z is not None:
+                self._set_zoom(z)
+        elif ev.key == "0":          # reset view (fit)
+            self.zoom, self.view_center = None, None
             self._apply_view()
             self.fig.canvas.draw_idle()
         elif ev.key == "f":

@@ -42,7 +42,7 @@ def _upsample_axis(p: np.ndarray, axis: int) -> np.ndarray:
 
 
 def upsample_chroma(y: np.ndarray, u: np.ndarray, v: np.ndarray, fmt: int):
-    """Upsample U/V to luma resolution (4:4:4)."""
+    """Upsample U/V to luma resolution (4:4:4), integer half-band filter."""
     for _ in range(2):
         if u.shape[1] < y.shape[1]:
             u = _upsample_axis(u, 1)
@@ -53,14 +53,73 @@ def upsample_chroma(y: np.ndarray, u: np.ndarray, v: np.ndarray, fmt: int):
     return u[:y.shape[0], :y.shape[1]], v[:y.shape[0], :y.shape[1]]
 
 
+def _conv_rows(p: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Correlate rows of ``p`` with reversed ``w`` centered at (len-1)//2,
+    edges clamped (scipy.ndimage.convolve1d(..., mode='nearest') semantics,
+    which the reference preview uses)."""
+    n = p.shape[0]
+    c = (len(w) - 1) // 2
+    wr = w[::-1]
+    out = np.zeros_like(p)
+    idx = np.arange(n)
+    for k, wk in enumerate(wr):
+        out += wk * p[np.clip(idx + k - c, 0, n - 1)]
+    return out
+
+
+def _sinc_upsample_h(p: np.ndarray) -> np.ndarray:
+    """2x horizontal, co-sited: even columns pass through, odd columns are
+    the half-phase windowed-sinc interpolation
+    (/root/reference/fgc-designer.py:305-311)."""
+    f = np.sinc(np.arange(-1.5, 1.6))
+    f /= np.sum(f)
+    half = _conv_rows(p.T, f).T
+    out = np.empty((p.shape[0], 2 * p.shape[1]), dtype=p.dtype)
+    out[:, 0::2] = p
+    out[:, 1::2] = half
+    return out
+
+
+def _sinc_upsample_v(p: np.ndarray) -> np.ndarray:
+    """2x vertical, midpoint-sited: both output phases are quarter-phase
+    windowed-sinc interpolations (chroma sits between luma rows;
+    /root/reference/fgc-designer.py:313-320)."""
+    f = np.append(0, np.sinc(np.arange(-1.25, 1.76)))
+    f /= np.sum(f)
+    out = np.empty((2 * p.shape[0], p.shape[1]), dtype=p.dtype)
+    out[0::2] = _conv_rows(p, f)
+    out[1::2] = _conv_rows(p, f[::-1])
+    return out
+
+
+def upsample_chroma_sinc(yf: np.ndarray, uf: np.ndarray, vf: np.ndarray):
+    """Float-domain windowed-sinc chroma upsample matching the reference
+    designer: horizontal co-sited first, then vertical midpoint."""
+    if 2 * uf.shape[1] == yf.shape[1]:
+        uf = _sinc_upsample_h(uf)
+        vf = _sinc_upsample_h(vf)
+    if 2 * uf.shape[0] == yf.shape[0]:
+        uf = _sinc_upsample_v(uf)
+        vf = _sinc_upsample_v(vf)
+    return uf, vf
+
+
 def yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray, depth: int,
-               fmt: int) -> np.ndarray:
-    """BT.709 limited-range YUV -> float RGB in [0, 1] for display."""
-    u, v = upsample_chroma(y, u, v, fmt)
+               fmt: int, method: str = "sinc") -> np.ndarray:
+    """BT.709 limited-range YUV -> float RGB in [0, 1] for display.
+
+    ``method="sinc"`` (default) matches the reference designer's rendering:
+    range-convert to float first, then windowed-sinc chroma upsample
+    (co-sited horizontal, midpoint vertical).  ``method="halfband"`` keeps
+    the integer 4-tap half-band as a cheap fallback."""
     scale = float(1 << (depth - 8))
+    if method == "halfband":
+        u, v = upsample_chroma(y, u, v, fmt)
     yf = (y.astype(np.float32) / scale - 16.0) / 219.0
     uf = (u.astype(np.float32) / scale - 128.0) / 224.0
     vf = (v.astype(np.float32) / scale - 128.0) / 224.0
+    if method == "sinc":
+        uf, vf = upsample_chroma_sinc(yf, uf, vf)
     r = yf + 1.5748 * vf
     g = yf - 0.18733 * uf - 0.46813 * vf
     b = yf + 1.8556 * uf

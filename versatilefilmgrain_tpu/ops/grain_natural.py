@@ -12,14 +12,28 @@ that assembles pattern windows:
   oy = lq*ymul; vfgs_hw.c:99-138 via ops/offsets.py), so the pattern value a
   pixel needs is pattern[p, lq*ymul + y, ox + x%bw] -- fully determined by a
   per-lane index t[x] = lq[x//bw]*KC + ox[x//bw] + x%bw with KC = 16*xmul.
-  Building the (K=12*KC, W) one-hot (iota == t) and computing
-  pattern2 @ onehot on the MXU (int8 x int8 -> int32) yields all 8 pattern
-  candidates for a whole strip directly in natural lane order: the matmul IS
-  the relayout.
+  Contracting pattern2 (M, K) against the one-hot (k == t[x]) on the MXU
+  (int8 x int8 -> int32) yields all pattern candidates for a whole strip
+  directly in natural lane order: the matmul IS the relayout.
+
+* **Byte-packed one-hot build.**  The VPU has no sub-32-bit compares on this
+  chip (Mosaic: "Target does not support this comparison" for packed i8/i16
+  cmps), so a naive (K, W) int32 iota-compare is the kernel's single most
+  expensive VPU pass.  Instead the one-hot is built as (K/4, W) int32 words
+  -- where(k4 == t>>2, 1 << (8*(t&3)), 0), one compare + one select over a
+  QUARTER of the elements -- and bit-cast to the (K, W) int8 MXU operand.
+  ``pltpu.bitcast`` maps word row k4 byte j to int8 row 4*k4 + j (verified on
+  hardware and in interpret mode, tools/probe_r4.py), which is exactly
+  k == 4*(t>>2) + (t&3) == t.  Measured: ~2.2x faster one-hot build, ~18%
+  whole-kernel.
+
+* **Packed per-lane metadata.**  The XLA-side state lattice collapses to ONE
+  int32 word per lane -- (t>>2) | (t&3)<<8 | (sign<0)<<10 -- halving the
+  per-lane HBM traffic vs separate t/sign arrays.
 
 * **Overlap rows ride a VMEM carry.**  Vertical overlap needs the previous
   block row's window rows bh..bh+n_ov-1 at the previous row's offsets
-  (vfgs_hw.c:206,223-229).  Those rows extend the same matmul (M = 8 patterns
+  (vfgs_hw.c:206,223-229).  Those rows extend the same matmul (M = n_pat
   x (bh + n_ov) rows) at strip r-1 and persist in VMEM scratch across grid
   steps -- the TPU grid is sequential with the block-row dimension innermost,
   so step (f, r) consumes the carry written by (f, r-1).  Row 0 of a frame
@@ -27,10 +41,11 @@ that assembles pattern windows:
   boundaries is masked out and no "up" lattice is needed at all.
 
 * **Natural-lane epilogue.**  The intensity->(scale, pattern) LUT pair is the
-  run-length compare/add chain (vfgs_fw.c:597-639 structure), the 8-way
-  pattern mux is a 3-bit select tree on static row slices, and the horizontal
-  deblock (vfgs_hw.c:250-258) becomes a masked 3-tap over lane rolls --
-  trivial in natural layout.
+  run-length compare/add chain (vfgs_fw.c:597-639 structure) with the TRUE
+  per-component segment count (chroma LUTs are shorter than luma's; the
+  shared padded table is only a storage format), the pattern mux is a binary
+  select tree on static row slices, and the horizontal deblock
+  (vfgs_hw.c:250-258) becomes a masked 3-tap over lane rolls.
 
 Identical integers to ops/grain_jnp.py come out; tests/test_natural_engine.py
 checks bit-exactness against the fast engine in interpret mode, and bench.py
@@ -97,7 +112,8 @@ def natural_tables(regs) -> dict:
     pat2_c = _pack_pattern2(regs.pattern[1], bh_c, bw_c, n_ov_c,
                             4 // csuby, 4 // csubx, n_pat_c)
     seg = [build_segments(regs.slut[c], regs.plut[c]) for c in range(3)]
-    S = max(len(s) for s, _ in seg)
+    nseg_per = tuple(len(s) for s, _ in seg)
+    S = max(nseg_per)
     S = -(-S // 8) * 8
     starts = np.zeros((3, S), np.int32)
     deltas = np.zeros((3, S), np.int32)
@@ -106,7 +122,7 @@ def natural_tables(regs) -> dict:
         deltas[c, :len(d)] = d
     return dict(
         pat2_luma=pat2_l, pat2_chroma=pat2_c,
-        seg_starts=starts, seg_deltas=deltas,
+        seg_starts=starts, seg_deltas=deltas, nseg_per=nseg_per,
         scale_shift=int(regs.scale_shift),
         y_min=int(regs.y_min), y_max=int(regs.y_max),
         c_min=int(regs.c_min), c_max=int(regs.c_max),
@@ -136,7 +152,22 @@ def _mux(planes, pi):
     return cur[0]
 
 
-def _plane_kernel(x_ref, t_ref, sign_ref, segs_ref, segd_ref, pat_ref,
+def _build_onehot(w, K: int, Wp: int):
+    """(K, Wp) int8 one-hot of t from the packed lane word ``w`` (1, Wp).
+
+    Built as (K/4, Wp) int32 words -- one compare + one select over a quarter
+    of the elements -- and bit-cast to int8 rows (word k4 byte j -> row
+    4*k4+j, i.e. row t).  Also returns the decoded per-lane sign.
+    """
+    qv = w & 0xFF
+    pow_ = jnp.int32(1) << ((w >> 5) & 24)      # 1 << (8 * (t & 3))
+    sg = 1 - ((w >> 9) & 2)
+    k4io = jax.lax.broadcasted_iota(jnp.int32, (K // 4, Wp), 0)
+    onehot = pltpu.bitcast(jnp.where(k4io == qv, pow_, 0), jnp.int8)
+    return onehot, sg
+
+
+def _plane_kernel(x_ref, w_ref, segs_ref, segd_ref, pat_ref,
                   *rest, bh: int, bw: int, n_ov: int,
                   n_pat: int, rc: int, nseg: int, K: int, bs: int,
                   scale_shift: int, imin: int, imax: int, Wp: int,
@@ -144,14 +175,13 @@ def _plane_kernel(x_ref, t_ref, sign_ref, segs_ref, segd_ref, pat_ref,
     """``rc`` (frame, block-row) strips in natural (rc*bh, Wp) layout.
 
     With ``bootstrap`` (the shard_map path), three extra inputs precede the
-    output ref -- per-frame up-state lane arrays (t_up, sign_up), the
-    up-rows-only pattern operand, and a blend0 scalar -- and the first block
-    row of the local shard seeds the carry from the up state instead of
-    relying on a previous grid step (which lives on the neighbouring shard).
+    output ref -- a per-frame up-state lane-word array, the up-rows-only
+    pattern operand, and a blend0 scalar -- and the first block row of the
+    local shard seeds the carry from the up state instead of relying on a
+    previous grid step (which lives on the neighbouring shard).
     """
     if bootstrap:
-        (tup_ref, sgup_ref, patup_ref, blend0_ref, out_ref,
-         carry_ref) = rest
+        (wup_ref, patup_ref, blend0_ref, out_ref, carry_ref) = rest
     else:
         out_ref, carry_ref = rest
     r0 = pl.program_id(1)
@@ -162,13 +192,11 @@ def _plane_kernel(x_ref, t_ref, sign_ref, segs_ref, segd_ref, pat_ref,
         # lattice (zero-halo: pattern samples derive from states, not pixels).
         @pl.when(r0 == 0)
         def _seed():
-            tu = tup_ref[0, 0, 0:1]                            # (1, Wp)
-            kio = jax.lax.broadcasted_iota(jnp.int32, (K, Wp), 0)
-            ohu = (kio == tu).astype(jnp.int8)
+            ohu, sgu = _build_onehot(wup_ref[0, 0, 0:1], K, Wp)
             cu = jax.lax.dot_general(patup_ref[:], ohu,
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.int32)
-            carry_ref[:] = cu * sgup_ref[0, 0, 0:1]
+            carry_ref[:] = cu * sgu
 
     for j in range(rc):
         x = x_ref[0, j * bh:(j + 1) * bh].astype(jnp.int32)    # (bh, Wp)
@@ -185,9 +213,7 @@ def _plane_kernel(x_ref, t_ref, sign_ref, segs_ref, segd_ref, pat_ref,
         # assembled on the MXU directly in natural lane order: the
         # contraction over the (k == t) one-hot IS the window fetch +
         # relayout.
-        t = t_ref[0, 0, j:j + 1]                               # (1, Wp)
-        kio = jax.lax.broadcasted_iota(jnp.int32, (K, Wp), 0)
-        onehot = (kio == t).astype(jnp.int8)
+        onehot, sg = _build_onehot(w_ref[0, 0, j:j + 1], K, Wp)
         cand = jax.lax.dot_general(pat_ref[:], onehot,
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.int32)
@@ -196,7 +222,6 @@ def _plane_kernel(x_ref, t_ref, sign_ref, segs_ref, segd_ref, pat_ref,
         # per-lane sign is uniform across candidate rows, so it commutes with
         # the mux: applying it post-mux (bh + n_pat*n_ov rows) instead of to
         # all M rows saves most of the multiplies.
-        sg = sign_ref[0, 0, j:j + 1]                           # (1, Wp)
         P = _mux([cand[p * rows:p * rows + bh] for p in range(n_pat)],
                  pi) * sg
         up_prev = carry_ref[:]                                 # (n_pat*n_ov,)
@@ -244,20 +269,28 @@ def _plane_kernel(x_ref, t_ref, sign_ref, segs_ref, segd_ref, pat_ref,
 
 
 def _pick_rc(R: int, cap: int = 1) -> int:
-    """Sub-strips per grid step: largest divisor of R up to ``cap``."""
+    """Sub-strips per grid step: largest divisor of R up to ``cap``.
+
+    cap=1 is intentional and measured: with the byte-packed one-hot build,
+    unrolling multiple strips per grid step REGRESSES the 4K step (rc=1
+    4.02 ms vs rc=3 5.55 ms, round-4 A/B on v5e -- more live VMEM per step
+    defeats the scheduler).  On the round-3 kernel rc=3 was +3%; the knob
+    and the multi-strip path stay because shapes whose R is prime never see
+    rc>1 anyway and tests cover the multi-strip branch via monkeypatch."""
     for rc in range(cap, 1, -1):
         if R % rc == 0:
             return rc
     return 1
 
 
-def _plane_pallas(xp, t, sign, segs, segd, pat2, *, bh, bw, n_ov, nseg, bs,
+def _plane_pallas(xp, words, segs, segd, pat2, *, bh, bw, n_ov, nseg, bs,
                   scale_shift, imin, imax, interpret=False, boot=None):
     """pallas_call wrapper: xp (F, R*bh, Wp) natural plane -> same shape.
 
-    ``boot`` (shard_map path) is (t_up, sign_up, blend0): per-frame up-state
-    lane arrays (F, 1, Wp) seeding the first local block row's carry, and a
-    (1,) int32 flag saying whether that row blends (tile shards above the
+    ``words`` is the packed per-lane lattice word array (F, R, 1, Wp);
+    ``boot`` (shard_map path) is (words_up, blend0): a per-frame up-state
+    word array (F, 1, 1, Wp) seeding the first local block row's carry, and
+    a (1,) int32 flag saying whether that row blends (tile shards above the
     frame top do; the frame's own first row does not)."""
     F, Hp, Wp = xp.shape
     R = Hp // bh
@@ -279,18 +312,15 @@ def _plane_pallas(xp, t, sign, segs, segd, pat2, *, bh, bw, n_ov, nseg, bs,
     smem1 = lambda a: pl.BlockSpec(a.shape, lambda f, r: (0,),
                                    memory_space=pltpu.SMEM)
 
-    in_specs = [strip, perlane, perlane, smem1(segs), smem1(segd),
-                const2(pat2)]
-    args = [xp, t.reshape(F, R // rc, rc, Wp),
-            sign.reshape(F, R // rc, rc, Wp), segs, segd, pat2]
+    in_specs = [strip, perlane, smem1(segs), smem1(segd), const2(pat2)]
+    args = [xp, words.reshape(F, R // rc, rc, Wp), segs, segd, pat2]
     if boot is not None:
-        t_up, sign_up, blend0 = boot
+        words_up, blend0 = boot
         pat2_up = _up_rows(pat2, bh, n_ov, n_pat)
         perframe = pl.BlockSpec((1, 1, 1, Wp), lambda f, r: (f, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
-        in_specs += [perframe, perframe, const2(pat2_up), smem1(blend0)]
-        args += [t_up.reshape(F, 1, 1, Wp), sign_up.reshape(F, 1, 1, Wp),
-                 pat2_up, blend0]
+        in_specs += [perframe, const2(pat2_up), smem1(blend0)]
+        args += [words_up.reshape(F, 1, 1, Wp), pat2_up, blend0]
 
     return pl.pallas_call(
         kern,
@@ -311,11 +341,11 @@ def _up_rows(pat2, bh, n_ov, n_pat):
 
 
 # ---------------------------------------------------------------------------
-# XLA wrapper: state lattice + per-lane one-hot targets
+# XLA wrapper: state lattice + packed per-lane kernel words
 # ---------------------------------------------------------------------------
 
 def _lane_arrays(lat, c, csubx, csuby):
-    """Per-lane one-hot target t and sign for component c, (F, R, C*bw)."""
+    """Per-lane one-hot target t and sign for component c, (F, R, 1, C*bw)."""
     subx = csubx if c else 1
     suby = csuby if c else 1
     bw = 16 // subx
@@ -329,6 +359,13 @@ def _lane_arrays(lat, c, csubx, csuby):
     sign = jnp.broadcast_to(s.astype(jnp.int32)[..., None],
                             (F, R, C, bw)).reshape(F, R, 1, C * bw)
     return t, sign
+
+
+def _lane_words(lat, c, csubx, csuby):
+    """Packed per-lane kernel word for component c, (F, R, 1, C*bw) int32:
+    bits 0..7 = t>>2 (one-hot word row), 8..9 = t&3 (byte), 10 = sign<0."""
+    t, sign = _lane_arrays(lat, c, csubx, csuby)
+    return (t >> 2) | ((t & 3) << 8) | (jnp.where(sign < 0, 1, 0) << 10)
 
 
 def add_grain_batch_natural(y, u, v, bases, bases_up, tables: dict, *,
@@ -353,7 +390,7 @@ def add_grain_batch_natural(y, u, v, bases, bases_up, tables: dict, *,
     n_ov_c = tables["n_ov_c"]
     segs = jnp.asarray(tables["seg_starts"])
     segd = jnp.asarray(tables["seg_deltas"])
-    nseg = int(tables["seg_starts"].shape[1])
+    nseg_per = tables.get("nseg_per") or (segs.shape[1],) * 3
     ss = tables["scale_shift"]
 
     out = []
@@ -366,21 +403,25 @@ def add_grain_batch_natural(y, u, v, bases, bases_up, tables: dict, *,
             bh, bw, n_ov = bh_c, bw_c, n_ov_c
             pat2 = tables["pat2_chroma"]
             imin, imax = tables["c_min"], tables["c_max"]
-        t, sign = _lane_arrays(lat, c, csubx, csuby)
+        words = _lane_words(lat, c, csubx, csuby)
         out.append(_plane_pallas(
-            plane, t, sign, segs[c], segd[c], jnp.asarray(pat2),
-            bh=bh, bw=bw, n_ov=n_ov, nseg=nseg, bs=bs, scale_shift=ss,
-            imin=imin, imax=imax, interpret=interpret))
+            plane, words, segs[c], segd[c], jnp.asarray(pat2),
+            bh=bh, bw=bw, n_ov=n_ov, nseg=int(nseg_per[c]), bs=bs,
+            scale_shift=ss, imin=imin, imax=imax, interpret=interpret))
     return tuple(out)
 
 
 def make_batched_step(tables: dict, *, height: int, width: int, bs: int,
-                      csubx: int, csuby: int, interpret: bool = False):
-    """jit-compiled batched step closure over static config tables."""
+                      csubx: int, csuby: int, interpret: bool = False,
+                      donate: bool = False):
+    """jit-compiled batched step closure over static config tables.
+
+    ``donate`` donates the three input planes so XLA writes outputs in
+    place (callers must pass fresh arrays per call, as run_file does)."""
     fn = functools.partial(
         add_grain_batch_natural, tables=tables, height=height, width=width,
         bs=bs, csubx=csubx, csuby=csuby, interpret=interpret)
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(0, 1, 2) if donate else ())
 
 
 def add_grain_shard_natural(y, u, v, states, states_up, ov_mask,
@@ -398,7 +439,7 @@ def add_grain_shard_natural(y, u, v, states, states_up, ov_mask,
     """
     segs = jnp.asarray(tables["seg_starts"])
     segd = jnp.asarray(tables["seg_deltas"])
-    nseg = int(tables["seg_starts"].shape[1])
+    nseg_per = tables.get("nseg_per") or (segs.shape[1],) * 3
     ss = tables["scale_shift"]
     bh_c, bw_c = tables["bh_c"], tables["bw_c"]
     n_ov_c = tables["n_ov_c"]
@@ -414,11 +455,11 @@ def add_grain_shard_natural(y, u, v, states, states_up, ov_mask,
             bh, bw, n_ov = bh_c, bw_c, n_ov_c
             pat2 = tables["pat2_chroma"]
             imin, imax = tables["c_min"], tables["c_max"]
-        t, sign = _lane_arrays(states, c, csubx, csuby)
-        t_up, sign_up = _lane_arrays(states_up[:, :1], c, csubx, csuby)
+        words = _lane_words(states, c, csubx, csuby)
+        words_up = _lane_words(states_up[:, :1], c, csubx, csuby)
         out.append(_plane_pallas(
-            plane, t, sign, segs[c], segd[c], jnp.asarray(pat2),
-            bh=bh, bw=bw, n_ov=n_ov, nseg=nseg, bs=bs, scale_shift=ss,
-            imin=imin, imax=imax, interpret=interpret,
-            boot=(t_up, sign_up, blend0)))
+            plane, words, segs[c], segd[c], jnp.asarray(pat2),
+            bh=bh, bw=bw, n_ov=n_ov, nseg=int(nseg_per[c]), bs=bs,
+            scale_shift=ss, imin=imin, imax=imax, interpret=interpret,
+            boot=(words_up, blend0)))
     return tuple(out)

@@ -291,9 +291,13 @@ def add_grain_batch_pallas(y, u, v, bases, bases_up, tables: dict, *,
 
 
 def make_batched_step(tables: dict, *, height: int, width: int, bs: int,
-                      csubx: int, csuby: int, interpret: bool = False):
-    """jit-compiled batched step closure over static config tables."""
+                      csubx: int, csuby: int, interpret: bool = False,
+                      donate: bool = False):
+    """jit-compiled batched step closure over static config tables.
+
+    ``donate`` donates the three input planes so XLA writes outputs in
+    place (callers must pass fresh arrays per call, as run_file does)."""
     fn = functools.partial(
         add_grain_batch_pallas, tables=tables, height=height, width=width,
         bs=bs, csubx=csubx, csuby=csuby, interpret=interpret)
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(0, 1, 2) if donate else ())

@@ -38,11 +38,23 @@ try:  # jax >= 0.4.35
     _params = inspect.signature(_shard_map).parameters
     _CHECK_KW = ({"check_vma": False} if "check_vma" in _params
                  else {"check_rep": False} if "check_rep" in _params
-                 else {})
+                 else None)
 
     def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                          out_specs=out_specs, **_CHECK_KW)
+        if _CHECK_KW is not None:
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, **_CHECK_KW)
+        # Neither kwarg visible in the signature (e.g. hidden behind
+        # **kwargs): try them at call time rather than silently leaving the
+        # vma check on, which rejects pallas_call outputs.
+        for kw in ({"check_vma": False}, {"check_rep": False}, {}):
+            try:
+                return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                                  out_specs=out_specs, **kw)
+            except TypeError:
+                continue
+        raise TypeError("jax.shard_map accepts neither check_vma nor "
+                        "check_rep and rejects plain calls")
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map as _shard_map_old
 

@@ -246,13 +246,14 @@ class GrainPipeline:
             self._ft_cache = (self._cfg_generation, fast_tables(self.regs))
         return self._ft_cache[1]
 
-    def _pallas_step(self):
+    def _pallas_step(self, donate: bool = False):
         """Jitted batched Pallas step (tiled or natural-layout kernel, per
         ``self.engine``) for the current config generation.
 
         Runs the real Mosaic kernel on TPU and interpret mode elsewhere
         (bit-identical integers either way; tests/test_pallas_engine.py,
-        tests/test_natural_engine.py)."""
+        tests/test_natural_engine.py).  ``donate`` donates the input planes
+        to XLA (in-place outputs; run_file's inputs are fresh per batch)."""
         import jax
         if self.engine == "natural":
             from .ops.grain_natural import make_batched_step
@@ -260,14 +261,15 @@ class GrainPipeline:
         else:
             from .ops.grain_pallas import make_batched_step
             from .ops.grain_pallas import pallas_tables as mk_tables
+        key = (self._cfg_generation, donate)
         if (getattr(self, "_pstep_cache", None) is None
-                or self._pstep_cache[0] != self._cfg_generation):
+                or self._pstep_cache[0] != key):
             step = make_batched_step(
                 mk_tables(self.regs), height=self.height,
                 width=self.width, bs=self.regs.bs, csubx=self.regs.csubx,
                 csuby=self.regs.csuby,
-                interpret=jax.default_backend() != "tpu")
-            self._pstep_cache = (self._cfg_generation, step)
+                interpret=jax.default_backend() != "tpu", donate=donate)
+            self._pstep_cache = (key, step)
         return self._pstep_cache[1]
 
     def pop_cfg(self, frame: int) -> None:
@@ -529,21 +531,6 @@ class GrainPipeline:
         import jax
         donate = jax.default_backend() == "tpu"
 
-        def dispatch(ys, us, vs, bases, bases_up):
-            # resolved per batch: a config switch invalidates the tables
-            if self.engine in ("pallas", "natural"):
-                out = self._pallas_step()(ys, us, vs, bases, bases_up)
-            else:
-                from .ops.grain_fast import fast_args
-                out = self._batched_step(batch, donate=donate)(
-                    ys, us, vs, bases, bases_up,
-                    *fast_args(self._fast_tables()))
-            # Start the d2h of this batch now; by the time flush() blocks on
-            # it (one batch later), the bytes are already on the host.
-            for o in out:
-                o.copy_to_host_async()
-            return out
-
         n = 0
         eof = False
         pending = None  # (device_out, count, shapes)
@@ -554,6 +541,69 @@ class GrainPipeline:
             prof.__enter__()
         t_read = t_step = t_write = 0.0
         t_start = _time.perf_counter()
+
+        def prepare(n0):
+            """Stage the batch starting at global frame ``n0``: pop any due
+            config, read + pad the raw frames, START the async h2d of the
+            planes, and resolve the engine step under the (possibly new)
+            config.  Called for batch N+1 right after batch N's compute is
+            enqueued, so the transfer overlaps the compute."""
+            nonlocal eof, t_read
+            if eof or (frames and n0 >= frames):
+                return None
+            self.maybe_switch_config(n0)
+            # frames until the next config switch
+            limit = batch
+            if self.icfg < len(self.configs):
+                limit = min(limit,
+                            max(1, self.configs[self.icfg][0]
+                                - (n0 + self.seek)))
+            if frames:
+                limit = min(limit, frames - n0)
+            raws = []
+            t0 = _time.perf_counter()
+            for _ in range(limit):
+                raw = read_raw()
+                if raw is None:
+                    eof = True
+                    break
+                raws.append(raw)
+            t_read += _time.perf_counter() - t0
+            if not raws:
+                return None
+            count = len(raws)
+            while len(raws) < batch:      # pad to the compiled batch size
+                raws.append(raws[-1])
+            ys, us, vs = [], [], []
+            for raw in raws:
+                y, u, v = self._split_frame(raw)
+                if pad_needed:
+                    y = yuv.pad_plane(y, R * 16, C * 16)
+                    u = yuv.pad_plane(u, R * bhc, C * bwc)
+                    v = yuv.pad_plane(v, R * bhc, C * bwc)
+                ys.append(y)
+                us.append(u)
+                vs.append(v)
+            bases = np.empty(batch, np.uint32)
+            bases_up = np.empty(batch, np.uint32)
+            for i in range(batch):
+                b, bu = self.frame_bases(n0 + min(i, count - 1))
+                bases[i], bases_up[i] = b, bu
+            # resolve the step NOW: a later prepare() may pop the next
+            # config before this batch is dispatched
+            if self.engine in ("pallas", "natural"):
+                step = self._pallas_step(donate=donate)
+                extra = ()
+            else:
+                from .ops.grain_fast import fast_args
+                step = self._batched_step(batch, donate=donate)
+                extra = fast_args(self._fast_tables())
+            # jax device transfers are asynchronous: these enqueue and
+            # return, overlapping the previous batch's compute
+            dev = (jnp.asarray(np.stack(ys)), jnp.asarray(np.stack(us)),
+                   jnp.asarray(np.stack(vs)), jnp.asarray(bases),
+                   jnp.asarray(bases_up))
+            return step, extra, dev, count
 
         def flush(p):
             yo, uo, vo, count = p
@@ -573,57 +623,23 @@ class GrainPipeline:
                     yuv.write_frame(fdst, planes, odepth)
 
         try:
-            while not eof and (frames == 0 or n < frames):
-                self.maybe_switch_config(n)
-                # frames until the next config switch
-                limit = batch
-                if self.icfg < len(self.configs):
-                    limit = min(limit,
-                                max(1, self.configs[self.icfg][0]
-                                    - (n + self.seek)))
-                if frames:
-                    limit = min(limit, frames - n)
-                raws = []
+            cur = prepare(0)
+            while cur is not None:
+                step, extra, dev, count = cur
                 t0 = _time.perf_counter()
-                for _ in range(limit):
-                    raw = read_raw()
-                    if raw is None:
-                        eof = True
-                        break
-                    raws.append(raw)
-                t_read += _time.perf_counter() - t0
-                if not raws:
-                    break
-                count = len(raws)
-                while len(raws) < batch:      # pad to the compiled batch size
-                    raws.append(raws[-1])
-                ys, us, vs = [], [], []
-                for raw in raws:
-                    y, u, v = self._split_frame(raw)
-                    if pad_needed:
-                        y = yuv.pad_plane(y, R * 16, C * 16)
-                        u = yuv.pad_plane(u, R * bhc, C * bwc)
-                        v = yuv.pad_plane(v, R * bhc, C * bwc)
-                    ys.append(y)
-                    us.append(u)
-                    vs.append(v)
-                bases = np.empty(batch, np.uint32)
-                bases_up = np.empty(batch, np.uint32)
-                for i in range(batch):
-                    b, bu = self.frame_bases(n + min(i, count - 1))
-                    bases[i], bases_up[i] = b, bu
-                t0 = _time.perf_counter()
-                out = dispatch(jnp.asarray(np.stack(ys)),
-                               jnp.asarray(np.stack(us)),
-                               jnp.asarray(np.stack(vs)), jnp.asarray(bases),
-                               jnp.asarray(bases_up))
+                out = step(*dev, *extra)
+                # Start the d2h of this batch now; by the time flush()
+                # blocks on it (one batch later), the bytes are on the host.
+                for o in out:
+                    o.copy_to_host_async()
                 t_step += _time.perf_counter() - t0
+                n += count
+                cur = prepare(n)      # h2d of batch N+1 under batch N
                 t0 = _time.perf_counter()
                 if pending is not None:
                     flush(pending)
                 t_write += _time.perf_counter() - t0
                 pending = (*out, count)
-                n += count
             t0 = _time.perf_counter()
             if pending is not None:
                 flush(pending)
