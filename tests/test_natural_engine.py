@@ -205,43 +205,3 @@ def test_natural_matches_fast_random_cfg(seed):
         for p, (r, q) in enumerate(zip(fast, nout)):
             assert np.array_equal(np.asarray(r), np.asarray(q)[fi]), \
                 f"seed {seed} frame {f} plane {p}"
-
-
-def test_natural_multi_strip_grid_step(monkeypatch):
-    """rc > 1 (several block rows per grid step): the in-kernel j-loop and
-    the in-step always-blend branch must stay bit-exact."""
-    import versatilefilmgrain_tpu.ops.grain_natural as gn
-
-    monkeypatch.setattr(gn, "_pick_rc", lambda R, cap=3: 3 if R % 3 == 0 else 1)
-
-    H, W = 144, 256          # R = 9: rc=3 divides every plane's block rows
-    R, C = H // 16, W // 16
-    regs = _regs_for("sei_ff", 10, (2, 2))
-    rng = np.random.default_rng(5)
-    y = rng.integers(0, 1024, (R * 16, C * 16)).astype(np.uint16)
-    u = rng.integers(0, 1024, (R * 8, C * 8)).astype(np.uint16)
-    v = rng.integers(0, 1024, (R * 8, C * 8)).astype(np.uint16)
-    frames = (0, 1)
-    bases, bases_up = [], []
-    for f in frames:
-        e0 = lfsr.frame_base_exponent(f, R, C)
-        bases.append(int(lfsr.advance(np.uint32(regs.seed_state), e0)))
-        bases_up.append(int(lfsr.advance(np.uint32(regs.seed_state), e0 - C))
-                        if e0 else bases[-1])
-
-    nt = natural_tables(regs)
-    nout = gn.add_grain_batch_natural(
-        jnp.asarray(np.stack([y] * 2)), jnp.asarray(np.stack([u] * 2)),
-        jnp.asarray(np.stack([v] * 2)),
-        jnp.asarray(np.array(bases, np.uint32)),
-        jnp.asarray(np.array(bases_up, np.uint32)),
-        nt, height=H, width=W, bs=2, csubx=2, csuby=2, interpret=True)
-    ft = fast_tables(regs)
-    for fi in range(2):
-        fast = add_grain_frame_fast_jit(
-            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-            jnp.uint32(bases[fi]), jnp.uint32(bases_up[fi]), *fast_args(ft),
-            height=H, width=W, bs=2, csubx=2, csuby=2)
-        for p, (r, q) in enumerate(zip(fast, nout)):
-            assert np.array_equal(np.asarray(r), np.asarray(q)[fi]), \
-                f"rc=3 frame {fi} plane {p}"

@@ -24,8 +24,14 @@ that assembles pattern windows:
   QUARTER of the elements -- and bit-cast to the (K, W) int8 MXU operand.
   ``pltpu.bitcast`` maps word row k4 byte j to int8 row 4*k4 + j (verified on
   hardware and in interpret mode, tools/probe_r4.py), which is exactly
-  k == 4*(t>>2) + (t&3) == t.  Measured: ~2.2x faster one-hot build, ~18%
-  whole-kernel.
+  k == 4*(t>>2) + (t&3) == t.  Measured: ~2.2x faster one-hot build.
+
+* **One kernel for all three planes.**  Luma and chroma share the grid --
+  one block row of 16 luma lines is one block row of 16/csuby chroma lines
+  for every subsampling -- so a single pallas_call processes (Y, U, V)
+  strips per grid step.  Chroma's work is almost entirely VPU (its MXU
+  contraction is tiny), so fusing lets Mosaic hide it under the luma dot:
+  measured 4.04 ms -> 3.29 ms per 8-frame 4K step vs three calls.
 
 * **Packed per-lane metadata.**  The XLA-side state lattice collapses to ONE
   int32 word per lane -- (t>>2) | (t&3)<<8 | (sign<0)<<10 -- halving the
@@ -45,7 +51,9 @@ that assembles pattern windows:
   per-component segment count (chroma LUTs are shorter than luma's; the
   shared padded table is only a storage format), the pattern mux is a binary
   select tree on static row slices, and the horizontal deblock
-  (vfgs_hw.c:250-258) becomes a masked 3-tap over lane rolls.
+  (vfgs_hw.c:250-258) is a masked 3-tap over lane rolls whose
+  block-boundary mask is hoisted to a constant input (it only depends on
+  the lane index).
 
 Identical integers to ops/grain_jnp.py come out; tests/test_natural_engine.py
 checks bit-exactness against the fast engine in interpret mode, and bench.py
@@ -130,6 +138,17 @@ def natural_tables(regs) -> dict:
     )
 
 
+def _deblock_mask(bh: int, bw: int, Wp: int) -> np.ndarray:
+    """(bh, Wp) int32 deblock-position mask (vfgs_hw.c:250-258): both
+    samples adjacent to an interior block boundary, excluding the frame
+    edges.  Depends only on the lane index, so it is a constant kernel
+    input instead of a per-strip iota recompute."""
+    x = np.arange(Wp)
+    i = x & (bw - 1)
+    m = ((i == 0) & (x > 0)) | ((i == bw - 1) & (x < Wp - 1))
+    return np.broadcast_to(m, (bh, Wp)).astype(np.int32)
+
+
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
@@ -153,182 +172,197 @@ def _mux(planes, pi):
 
 
 def _build_onehot(w, K: int, Wp: int):
-    """(K, Wp) int8 one-hot of t from the packed lane word ``w`` (1, Wp).
+    """(K, Wp) int8 one-hot of t from the packed lane word ``w`` (1, Wp),
+    plus the decoded per-lane sign.
 
     Built as (K/4, Wp) int32 words -- one compare + one select over a quarter
     of the elements -- and bit-cast to int8 rows (word k4 byte j -> row
-    4*k4+j, i.e. row t).  Also returns the decoded per-lane sign.
-    """
-    qv = w & 0xFF
-    pow_ = jnp.int32(1) << ((w >> 5) & 24)      # 1 << (8 * (t & 3))
+    4*k4+j, i.e. row t)."""
+    qv = (w >> 2) & 0xFF
+    pow_ = jnp.int32(1) << ((w & 3) << 3)       # 1 << (8 * (t & 3))
     sg = 1 - ((w >> 9) & 2)
     k4io = jax.lax.broadcasted_iota(jnp.int32, (K // 4, Wp), 0)
     onehot = pltpu.bitcast(jnp.where(k4io == qv, pow_, 0), jnp.int8)
     return onehot, sg
 
 
-def _plane_kernel(x_ref, w_ref, segs_ref, segd_ref, pat_ref,
-                  *rest, bh: int, bw: int, n_ov: int,
-                  n_pat: int, rc: int, nseg: int, K: int, bs: int,
-                  scale_shift: int, imin: int, imax: int, Wp: int,
-                  bootstrap: bool = False):
-    """``rc`` (frame, block-row) strips in natural (rc*bh, Wp) layout.
-
-    With ``bootstrap`` (the shard_map path), three extra inputs precede the
-    output ref -- a per-frame up-state lane-word array, the up-rows-only
-    pattern operand, and a blend0 scalar -- and the first block row of the
-    local shard seeds the carry from the up state instead of relying on a
-    previous grid step (which lives on the neighbouring shard).
-    """
-    if bootstrap:
-        (wup_ref, patup_ref, blend0_ref, out_ref, carry_ref) = rest
-    else:
-        out_ref, carry_ref = rest
-    r0 = pl.program_id(1)
+def _strip_body(r0, x_ref, w_ref, segs_ref, segd_ref, pat_ref, mask_ref,
+                out_ref, carry_ref, *, bh, bw, n_ov, n_pat, nseg, K, bs,
+                scale_shift, imin, imax, Wp, boot=None):
+    """Grain one (bh, Wp) strip of one plane; carry persists across the
+    sequential grid.  ``boot`` (shard_map path) is (wup_ref, patup_ref,
+    blend0_ref): the shard's first block row seeds the carry from the
+    up-state word instead of a previous grid step."""
     rows = bh + n_ov
+    if boot is not None:
+        wup_ref, patup_ref, blend0_ref = boot
 
-    if bootstrap:
-        # Seed the carry for the shard's first block row from the up-state
-        # lattice (zero-halo: pattern samples derive from states, not pixels).
         @pl.when(r0 == 0)
         def _seed():
+            # Zero halo: the up row's candidates derive from states, not
+            # neighbouring pixels (cf. ops/grain_fast.py plane_grain_fast).
             ohu, sgu = _build_onehot(wup_ref[0, 0, 0:1], K, Wp)
             cu = jax.lax.dot_general(patup_ref[:], ohu,
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.int32)
             carry_ref[:] = cu * sgu
 
-    for j in range(rc):
-        x = x_ref[0, j * bh:(j + 1) * bh].astype(jnp.int32)    # (bh, Wp)
-        inten = (x >> bs) & 0xFF
+    x = x_ref[0].astype(jnp.int32)                             # (bh, Wp)
+    inten = (x >> bs) & 0xFF
 
-        # Packed (scale | pattern<<9) via run-length compare/add chain.
-        acc = jnp.zeros_like(inten)
-        for k in range(nseg):
-            acc = acc + jnp.where(inten >= segs_ref[k], segd_ref[k], 0)
-        sc = acc & ((1 << _PACK_SHIFT) - 1)
-        pi = acc >> _PACK_SHIFT
+    # Packed (scale | pattern<<9) via run-length compare/add chain.
+    acc = jnp.zeros_like(inten)
+    for k in range(nseg):
+        acc = acc + jnp.where(inten >= segs_ref[k], segd_ref[k], 0)
+    sc = acc & ((1 << _PACK_SHIFT) - 1)
+    pi = acc >> _PACK_SHIFT
 
-        # All n_pat pattern candidates (plus the next strip's overlap rows),
-        # assembled on the MXU directly in natural lane order: the
-        # contraction over the (k == t) one-hot IS the window fetch +
-        # relayout.
-        onehot, sg = _build_onehot(w_ref[0, 0, j:j + 1], K, Wp)
-        cand = jax.lax.dot_general(pat_ref[:], onehot,
-                                   (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.int32)
+    # All n_pat pattern candidates (plus the next strip's overlap rows),
+    # assembled on the MXU directly in natural lane order: the contraction
+    # over the (k == t) one-hot IS the window fetch + relayout.
+    onehot, sg = _build_onehot(w_ref[0, 0, 0:1], K, Wp)
+    cand = jax.lax.dot_general(pat_ref[:], onehot,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
 
-        # Pattern mux on static row slices (lane layout untouched).  The
-        # per-lane sign is uniform across candidate rows, so it commutes with
-        # the mux: applying it post-mux (bh + n_pat*n_ov rows) instead of to
-        # all M rows saves most of the multiplies.
-        P = _mux([cand[p * rows:p * rows + bh] for p in range(n_pat)],
-                 pi) * sg
-        up_prev = carry_ref[:]                                 # (n_pat*n_ov,)
-        Pu = _mux([up_prev[p * n_ov:(p + 1) * n_ov] for p in range(n_pat)],
-                  pi[:n_ov])
-        carry_ref[:] = jnp.concatenate(
-            [cand[p * rows + bh:(p + 1) * rows] for p in range(n_pat)],
-            axis=0) * sg if n_pat > 1 else cand[bh:rows] * sg
+    # Pattern mux on static row slices (lane layout untouched).  The
+    # per-lane sign is uniform across candidate rows, so it commutes with
+    # the mux: applying it post-mux (bh + n_pat*n_ov rows) instead of to
+    # all M rows saves most of the multiplies.
+    P = _mux([cand[p * rows:p * rows + bh] for p in range(n_pat)], pi) * sg
+    up_prev = carry_ref[:]                                     # (n_pat*n_ov,)
+    Pu = _mux([up_prev[p * n_ov:(p + 1) * n_ov] for p in range(n_pat)],
+              pi[:n_ov])
+    carry_ref[:] = jnp.concatenate(
+        [cand[p * rows + bh:(p + 1) * rows] for p in range(n_pat)],
+        axis=0) * sg if n_pat > 1 else cand[bh:rows] * sg
 
-        # Vertical overlap on the first n_ov rows (vfgs_hw.c:223-229),
-        # active for every block row but the frame's first.  Coefficient
-        # pairs (12,24)/(24,12) for suby=1 rows 0/1, (20,20) for suby=2.
-        if n_ov == 1:
-            oc1 = oc2 = 20
-        else:
-            row = jax.lax.broadcasted_iota(jnp.int32, (n_ov, Wp), 0)
-            first = row < 1
-            oc1 = jnp.where(first, 12, 24)
-            oc2 = jnp.where(first, 24, 12)
-        blend = (P[:n_ov] * oc1 + Pu * oc2 + 16) >> 5
-        if j == 0:
-            do_blend = r0 > 0
-            if bootstrap:
-                do_blend = do_blend | (blend0_ref[0] != 0)
-            top = jnp.where(do_blend, blend, P[:n_ov])
-        else:
-            top = blend      # an in-step successor row always blends
-        P = jnp.concatenate([top, P[n_ov:]], axis=0)
+    # Vertical overlap on the first n_ov rows (vfgs_hw.c:223-229), active
+    # for every block row but the frame's first.  Coefficient pairs
+    # (12,24)/(24,12) for suby=1 rows 0/1, (20,20) for suby=2.
+    if n_ov == 1:
+        oc1 = oc2 = 20
+    else:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_ov, Wp), 0)
+        first = row < 1
+        oc1 = jnp.where(first, 12, 24)
+        oc2 = jnp.where(first, 24, 12)
+    blend = (P[:n_ov] * oc1 + Pu * oc2 + 16) >> 5
+    do_blend = r0 > 0
+    if boot is not None:
+        do_blend = do_blend | (blend0_ref[0] != 0)
+    top = jnp.where(do_blend, blend, P[:n_ov])
+    P = jnp.concatenate([top, P[n_ov:]], axis=0)
 
-        # Horizontal deblock at inner block boundaries (vfgs_hw.c:250-258):
-        # a masked 3-tap over lane rolls; both edge values use pre-deblock
-        # grain.
-        left = pltpu.roll(P, shift=1, axis=1)                  # P[x-1]
-        right = pltpu.roll(P, shift=Wp - 1, axis=1)            # P[x+1]
-        sm = (left + 3 * P + right + 2) >> 2
-        lane = jax.lax.broadcasted_iota(jnp.int32, (bh, Wp), 1)
-        i = lane & (bw - 1)
-        mask = ((i == 0) & (lane > 0)) | ((i == bw - 1) & (lane < Wp - 1))
-        P = jnp.where(mask, sm, P)
+    # Horizontal deblock at inner block boundaries (vfgs_hw.c:250-258):
+    # a masked 3-tap over lane rolls; both edge values use pre-deblock
+    # grain.
+    left = pltpu.roll(P, shift=1, axis=1)                      # P[x-1]
+    right = pltpu.roll(P, shift=Wp - 1, axis=1)                # P[x+1]
+    sm = (left + 3 * P + right + 2) >> 2
+    P = jnp.where(mask_ref[:] != 0, sm, P)
 
-        # Scale, round, add, clip (vfgs_hw.c:266-276).
-        g = (sc * P + (1 << (scale_shift - 1))) >> scale_shift
-        res = jnp.clip(x + g, imin << bs, imax << bs)
-        out_ref[0, j * bh:(j + 1) * bh] = res.astype(out_ref.dtype)
+    # Scale, round, add, clip (vfgs_hw.c:266-276).
+    g = (sc * P + (1 << (scale_shift - 1))) >> scale_shift
+    res = jnp.clip(x + g, imin << bs, imax << bs)
+    out_ref[0] = res.astype(out_ref.dtype)
 
 
-def _pick_rc(R: int, cap: int = 1) -> int:
-    """Sub-strips per grid step: largest divisor of R up to ``cap``.
+def _fused_pallas(planes, words, segs3, segd3, pat_l, pat_c, *, meta,
+                  interpret=False, boot=None):
+    """One pallas_call graining all three planes per (frame, block row).
 
-    cap=1 is intentional and measured: with the byte-packed one-hot build,
-    unrolling multiple strips per grid step REGRESSES the 4K step (rc=1
-    4.02 ms vs rc=3 5.55 ms, round-4 A/B on v5e -- more live VMEM per step
-    defeats the scheduler).  On the round-3 kernel rc=3 was +3%; the knob
-    and the multi-strip path stay because shapes whose R is prime never see
-    rc>1 anyway and tests cover the multi-strip branch via monkeypatch."""
-    for rc in range(cap, 1, -1):
-        if R % rc == 0:
-            return rc
-    return 1
+    ``planes``: (y, u, v) natural (F, R*bh_c, Wp_c) arrays; ``words``: the
+    three packed lane-word arrays (F, R, 1, Wp_c); ``meta``: static per-call
+    config (bh/bw/n_ov per plane class, nseg per component, clip ranges,
+    scale shift, bs); ``boot`` (shard_map path): (words_up, blend0)."""
+    y, u, v = planes
+    F, Hp, Wp = y.shape
+    R = Hp // 16
+    Wc = u.shape[2]
+    bh_c, bw_c, n_ov_c = meta["bh_c"], meta["bw_c"], meta["n_ov_c"]
+    K_l, K_c = int(pat_l.shape[1]), int(pat_c.shape[1])
+    n_pat_l = int(pat_l.shape[0]) // 18
+    n_pat_c = int(pat_c.shape[0]) // (bh_c + n_ov_c)
+    mask_l = jnp.asarray(_deblock_mask(16, 16, Wp))
+    mask_c = jnp.asarray(_deblock_mask(bh_c, bw_c, Wc))
 
+    pcommon = dict(bs=meta["bs"], scale_shift=meta["scale_shift"])
+    pl_luma = dict(bh=16, bw=16, n_ov=2, n_pat=n_pat_l, K=K_l, Wp=Wp,
+                   nseg=meta["nseg_per"][0], imin=meta["y_min"],
+                   imax=meta["y_max"], **pcommon)
+    pl_chroma = [dict(bh=bh_c, bw=bw_c, n_ov=n_ov_c, n_pat=n_pat_c, K=K_c,
+                      Wp=Wc, nseg=meta["nseg_per"][c], imin=meta["c_min"],
+                      imax=meta["c_max"], **pcommon) for c in (1, 2)]
 
-def _plane_pallas(xp, words, segs, segd, pat2, *, bh, bw, n_ov, nseg, bs,
-                  scale_shift, imin, imax, interpret=False, boot=None):
-    """pallas_call wrapper: xp (F, R*bh, Wp) natural plane -> same shape.
+    def kernel(*refs):
+        (y_ref, u_ref, v_ref, wy_ref, wu_ref, wv_ref,
+         sy_ref, dy_ref, su_ref, du_ref, sv_ref, dv_ref,
+         patl_ref, patc_ref, ml_ref, mc_ref) = refs[:16]
+        k = 16
+        if boot is not None:
+            (wyu_ref, wuu_ref, wvu_ref, patlu_ref, patcu_ref,
+             b0_ref) = refs[k:k + 6]
+            k += 6
+        oy_ref, ou_ref, ov_ref, cy_ref, cu_ref, cv_ref = refs[k:k + 6]
+        r0 = pl.program_id(1)
+        _strip_body(r0, y_ref, wy_ref, sy_ref, dy_ref, patl_ref, ml_ref,
+                    oy_ref, cy_ref,
+                    boot=(wyu_ref, patlu_ref, b0_ref) if boot else None,
+                    **pl_luma)
+        _strip_body(r0, u_ref, wu_ref, su_ref, du_ref, patc_ref, mc_ref,
+                    ou_ref, cu_ref,
+                    boot=(wuu_ref, patcu_ref, b0_ref) if boot else None,
+                    **pl_chroma[0])
+        _strip_body(r0, v_ref, wv_ref, sv_ref, dv_ref, patc_ref, mc_ref,
+                    ov_ref, cv_ref,
+                    boot=(wvu_ref, patcu_ref, b0_ref) if boot else None,
+                    **pl_chroma[1])
 
-    ``words`` is the packed per-lane lattice word array (F, R, 1, Wp);
-    ``boot`` (shard_map path) is (words_up, blend0): a per-frame up-state
-    word array (F, 1, 1, Wp) seeding the first local block row's carry, and
-    a (1,) int32 flag saying whether that row blends (tile shards above the
-    frame top do; the frame's own first row does not)."""
-    F, Hp, Wp = xp.shape
-    R = Hp // bh
-    K = int(pat2.shape[1])
-    rows = bh + n_ov
-    n_pat = int(pat2.shape[0]) // rows
-    rc = _pick_rc(R)
-    kern = functools.partial(
-        _plane_kernel, bh=bh, bw=bw, n_ov=n_ov, n_pat=n_pat, rc=rc,
-        nseg=nseg, K=K, bs=bs, scale_shift=scale_shift, imin=imin,
-        imax=imax, Wp=Wp, bootstrap=boot is not None)
-
-    strip = pl.BlockSpec((1, rc * bh, Wp), lambda f, r: (f, r, 0),
+    ystrip = pl.BlockSpec((1, 16, Wp), lambda f, r: (f, r, 0),
+                          memory_space=pltpu.VMEM)
+    cstrip = pl.BlockSpec((1, bh_c, Wc), lambda f, r: (f, r, 0),
+                          memory_space=pltpu.VMEM)
+    ylane = pl.BlockSpec((1, 1, 1, Wp), lambda f, r: (f, r, 0, 0),
                          memory_space=pltpu.VMEM)
-    perlane = pl.BlockSpec((1, 1, rc, Wp), lambda f, r: (f, r, 0, 0),
-                           memory_space=pltpu.VMEM)
+    clane = pl.BlockSpec((1, 1, 1, Wc), lambda f, r: (f, r, 0, 0),
+                         memory_space=pltpu.VMEM)
     const2 = lambda a: pl.BlockSpec(a.shape, lambda f, r: (0, 0),
                                     memory_space=pltpu.VMEM)
     smem1 = lambda a: pl.BlockSpec(a.shape, lambda f, r: (0,),
                                    memory_space=pltpu.SMEM)
 
-    in_specs = [strip, perlane, smem1(segs), smem1(segd), const2(pat2)]
-    args = [xp, words.reshape(F, R // rc, rc, Wp), segs, segd, pat2]
+    wy, wu, wv = (w.reshape(w.shape[0], R, 1, w.shape[3]) for w in words)
+    in_specs = [ystrip, cstrip, cstrip, ylane, clane, clane,
+                smem1(segs3[0]), smem1(segd3[0]), smem1(segs3[1]),
+                smem1(segd3[1]), smem1(segs3[2]), smem1(segd3[2]),
+                const2(pat_l), const2(pat_c), const2(mask_l), const2(mask_c)]
+    args = [y, u, v, wy, wu, wv, segs3[0], segd3[0], segs3[1], segd3[1],
+            segs3[2], segd3[2], pat_l, pat_c, mask_l, mask_c]
     if boot is not None:
         words_up, blend0 = boot
-        pat2_up = _up_rows(pat2, bh, n_ov, n_pat)
-        perframe = pl.BlockSpec((1, 1, 1, Wp), lambda f, r: (f, 0, 0, 0),
-                                memory_space=pltpu.VMEM)
-        in_specs += [perframe, const2(pat2_up), smem1(blend0)]
-        args += [words_up.reshape(F, 1, 1, Wp), pat2_up, blend0]
+        patu_l = _up_rows(pat_l, 16, 2, n_pat_l)
+        patu_c = _up_rows(pat_c, bh_c, n_ov_c, n_pat_c)
+        yframe = pl.BlockSpec((1, 1, 1, Wp), lambda f, r: (f, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        cframe = pl.BlockSpec((1, 1, 1, Wc), lambda f, r: (f, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        in_specs += [yframe, cframe, cframe, const2(patu_l), const2(patu_c),
+                     smem1(blend0)]
+        args += [words_up[0].reshape(F, 1, 1, Wp),
+                 words_up[1].reshape(F, 1, 1, Wc),
+                 words_up[2].reshape(F, 1, 1, Wc), patu_l, patu_c, blend0]
 
     return pl.pallas_call(
-        kern,
-        grid=(F, R // rc),
+        kernel,
+        grid=(F, R),
         in_specs=in_specs,
-        out_specs=strip,
-        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
-        scratch_shapes=[pltpu.VMEM((n_pat * n_ov, Wp), jnp.int32)],
+        out_specs=[ystrip, cstrip, cstrip],
+        out_shape=[jax.ShapeDtypeStruct(p.shape, p.dtype)
+                   for p in (y, u, v)],
+        scratch_shapes=[pltpu.VMEM((n_pat_l * 2, Wp), jnp.int32),
+                        pltpu.VMEM((n_pat_c * n_ov_c, Wc), jnp.int32),
+                        pltpu.VMEM((n_pat_c * n_ov_c, Wc), jnp.int32)],
         interpret=interpret,
     )(*args)
 
@@ -363,9 +397,34 @@ def _lane_arrays(lat, c, csubx, csuby):
 
 def _lane_words(lat, c, csubx, csuby):
     """Packed per-lane kernel word for component c, (F, R, 1, C*bw) int32:
-    bits 0..7 = t>>2 (one-hot word row), 8..9 = t&3 (byte), 10 = sign<0."""
-    t, sign = _lane_arrays(lat, c, csubx, csuby)
-    return (t >> 2) | ((t & 3) << 8) | (jnp.where(sign < 0, 1, 0) << 10)
+    bits 0..9 = t (one-hot row), bit 10 = sign<0.
+
+    Everything is computed at BLOCK granularity (F, R, C) -- tiny arrays --
+    and expanded to lanes with one broadcast-add (the trailing reshape is a
+    free contiguous view), so the XLA prep never materializes more than one
+    full-lane-width intermediate per plane."""
+    subx = csubx if c else 1
+    suby = csuby if c else 1
+    bw = 16 // subx
+    ymul, xmul = 4 // suby, 4 // subx
+    KC = 16 * xmul
+    s, ox, oy = block_offsets(lat, c, csubx, csuby)
+    baset = ((oy // ymul) * KC + ox).astype(jnp.int32)     # (F, R, C)
+    wblk = baset | (jnp.where(s < 0, 1, 0) << 10)
+    i = np.arange(bw, dtype=np.int32)
+    F, R, C = wblk.shape
+    return (wblk[..., None] + i).reshape(F, R, 1, C * bw)
+
+
+def _call_meta(tables: dict, bs: int) -> dict:
+    segs = jnp.asarray(tables["seg_starts"])
+    nseg_per = tables.get("nseg_per") or (int(segs.shape[1]),) * 3
+    return dict(
+        bs=bs, scale_shift=tables["scale_shift"],
+        nseg_per=tuple(int(n) for n in nseg_per),
+        y_min=tables["y_min"], y_max=tables["y_max"],
+        c_min=tables["c_min"], c_max=tables["c_max"],
+        bh_c=tables["bh_c"], bw_c=tables["bw_c"], n_ov_c=tables["n_ov_c"])
 
 
 def add_grain_batch_natural(y, u, v, bases, bases_up, tables: dict, *,
@@ -380,35 +439,17 @@ def add_grain_batch_natural(y, u, v, bases, bases_up, tables: dict, *,
     which this engine carries in VMEM across grid steps.
     """
     del bases_up
-    F = y.shape[0]
-
     lat = jax.vmap(
         lambda b: lfsr.state_lattice_jax(b, y.shape[1] // 16,
                                          y.shape[2] // 16))(bases)
-
-    bh_c, bw_c = tables["bh_c"], tables["bw_c"]
-    n_ov_c = tables["n_ov_c"]
     segs = jnp.asarray(tables["seg_starts"])
     segd = jnp.asarray(tables["seg_deltas"])
-    nseg_per = tables.get("nseg_per") or (segs.shape[1],) * 3
-    ss = tables["scale_shift"]
-
-    out = []
-    for c, plane in ((0, y), (1, u), (2, v)):
-        if c == 0:
-            bh, bw, n_ov = 16, 16, 2
-            pat2 = tables["pat2_luma"]
-            imin, imax = tables["y_min"], tables["y_max"]
-        else:
-            bh, bw, n_ov = bh_c, bw_c, n_ov_c
-            pat2 = tables["pat2_chroma"]
-            imin, imax = tables["c_min"], tables["c_max"]
-        words = _lane_words(lat, c, csubx, csuby)
-        out.append(_plane_pallas(
-            plane, words, segs[c], segd[c], jnp.asarray(pat2),
-            bh=bh, bw=bw, n_ov=n_ov, nseg=int(nseg_per[c]), bs=bs,
-            scale_shift=ss, imin=imin, imax=imax, interpret=interpret))
-    return tuple(out)
+    words = [_lane_words(lat, c, csubx, csuby) for c in range(3)]
+    return tuple(_fused_pallas(
+        (y, u, v), words, [segs[c] for c in range(3)],
+        [segd[c] for c in range(3)], jnp.asarray(tables["pat2_luma"]),
+        jnp.asarray(tables["pat2_chroma"]), meta=_call_meta(tables, bs),
+        interpret=interpret))
 
 
 def make_batched_step(tables: dict, *, height: int, width: int, bs: int,
@@ -439,27 +480,12 @@ def add_grain_shard_natural(y, u, v, states, states_up, ov_mask,
     """
     segs = jnp.asarray(tables["seg_starts"])
     segd = jnp.asarray(tables["seg_deltas"])
-    nseg_per = tables.get("nseg_per") or (segs.shape[1],) * 3
-    ss = tables["scale_shift"]
-    bh_c, bw_c = tables["bh_c"], tables["bw_c"]
-    n_ov_c = tables["n_ov_c"]
     blend0 = ov_mask[0].astype(jnp.int32).reshape(1)
-
-    out = []
-    for c, plane in ((0, y), (1, u), (2, v)):
-        if c == 0:
-            bh, bw, n_ov = 16, 16, 2
-            pat2 = tables["pat2_luma"]
-            imin, imax = tables["y_min"], tables["y_max"]
-        else:
-            bh, bw, n_ov = bh_c, bw_c, n_ov_c
-            pat2 = tables["pat2_chroma"]
-            imin, imax = tables["c_min"], tables["c_max"]
-        words = _lane_words(states, c, csubx, csuby)
-        words_up = _lane_words(states_up[:, :1], c, csubx, csuby)
-        out.append(_plane_pallas(
-            plane, words, segs[c], segd[c], jnp.asarray(pat2),
-            bh=bh, bw=bw, n_ov=n_ov, nseg=int(nseg_per[c]), bs=bs,
-            scale_shift=ss, imin=imin, imax=imax, interpret=interpret,
-            boot=(words_up, blend0)))
-    return tuple(out)
+    words = [_lane_words(states, c, csubx, csuby) for c in range(3)]
+    words_up = [_lane_words(states_up[:, :1], c, csubx, csuby)
+                for c in range(3)]
+    return tuple(_fused_pallas(
+        (y, u, v), words, [segs[c] for c in range(3)],
+        [segd[c] for c in range(3)], jnp.asarray(tables["pat2_luma"]),
+        jnp.asarray(tables["pat2_chroma"]), meta=_call_meta(tables, bs),
+        interpret=interpret, boot=(words_up, blend0)))
