@@ -32,6 +32,22 @@ All three engines (XLA `grain_fast`, the tiled Pallas kernel, and the
 natural-layout Pallas kernel) are measured head-to-head; the headline metric
 is the fastest one, and every number is printed on stderr.
 
+Two rooflines are measured in-script and the binding one is reported:
+
+* **Copy roofline** — a minimal elementwise pass over the same buffers (one
+  HBM read + one HBM write per plane, the minimum traffic the engine must
+  move).
+* **Compute roofline** — the natural engine is MXU-bound, not
+  bandwidth-bound: its window fetch is an int8 one-hot contraction of
+  Sum_planes n_pat*(bh+n_ov) x 12*KC x W MACs per block row.  The chip's
+  int8 MXU peak is measured in-script (chained self-feeding 1024x1024x3840
+  int8 matmuls), and the ceiling is peak_MACs/s / MACs_per_frame.
+
+Beyond the default SEI-FF config, the natural engine is also measured and
+bit-exactness-gated on real Mosaic against the XLA engine for an SEI-AR and
+an AFGS1 config (the vendored conformance .cfg files), exercising the
+n_pat<8 mux/carry paths; those fps land on stderr (headline unchanged).
+
 The baseline is the reference C model (single-threaded `vfgs` binary, -O2
 -mavx2) measured on this machine over the same workload; the reference
 publishes no numbers of its own (BASELINE.md).  The baseline is re-measured
@@ -159,6 +175,69 @@ def _chain_fps(step, state0, cargs) -> float:
     return F / t_iter
 
 
+def _regs_from_cfg(path: str, depth: int = 10, csub=(2, 2)):
+    """Build a register file from a vendored .cfg exactly like a pipeline
+    config pop (read -> check -> chroma-adjust -> fw init)."""
+    from versatilefilmgrain_tpu.models import config as cfgmod
+    from versatilefilmgrain_tpu.models import fw
+    from versatilefilmgrain_tpu.models.hw import HwRegs
+    from versatilefilmgrain_tpu.pipeline import adjust_chroma_cfg, check_cfg
+    from versatilefilmgrain_tpu.utils import parsers, yuv
+
+    sei, afgs1 = cfgmod.default_sei(), cfgmod.default_afgs1()
+    parsers.read_cfg(path, sei, afgs1)
+    check_cfg(sei, afgs1, yuv.YUV_420, depth)
+    adjust_chroma_cfg(sei, yuv.YUV_420)
+    regs = HwRegs()
+    regs.set_depth(depth)
+    regs.set_chroma_subsampling(*csub)
+    if afgs1.num_y_points:
+        fw.init_afgs1(afgs1, regs)
+    else:
+        fw.init_sei(sei, regs)
+    return regs
+
+
+def _natural_macs_per_frame(nt: dict, width: int, height: int,
+                            csubx: int) -> int:
+    """Int8 MXU MACs/frame of the natural engine's one-hot contraction:
+    per block row, each plane contracts (n_pat*(bh+n_ov), 12*KC) against
+    its (12*KC, W) one-hot."""
+    R = height // 16
+    macs = nt["pat2_luma"].shape[0] * nt["pat2_luma"].shape[1] * width * R
+    macs += 2 * (nt["pat2_chroma"].shape[0] * nt["pat2_chroma"].shape[1]
+                 * (width // csubx) * R)
+    return macs
+
+
+def _measured_mxu_peak(cargs) -> float:
+    """Chip int8 MXU peak in MACs/s, measured with the same chained
+    methodology: a self-feeding fori_loop of (1024,1024)x(1024,3840) int8
+    matmuls (N matches the engine's lane count)."""
+    import jax
+    import jax.numpy as jnp
+
+    K_, N_, INNER = 2048, 3840, 16
+    rng = np.random.default_rng(3)
+    Wm = jnp.asarray(rng.integers(-4, 5, (K_, K_), dtype=np.int8))
+    x0 = jnp.asarray(rng.integers(-4, 5, (1, K_, N_), dtype=np.int8))
+
+    @jax.jit
+    def mxu_step(x, u, v, b, bu):
+        def body(_, s):
+            y = jax.lax.dot_general(Wm, s[0], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            # dependency feedback at ~3% of the matmul's cost: one int8
+            # xor pass against a single broadcast row of the product
+            return (s[0] ^ (y[:1] & 1).astype(jnp.int8))[None]
+
+        x = jax.lax.fori_loop(0, INNER, body, x)
+        return x, x, x
+
+    iters_per_s = _chain_fps(mxu_step, (x0, x0, x0), cargs)
+    return iters_per_s * INNER * K_ * K_ * N_
+
+
 def bench_tpu() -> dict:
     import functools
 
@@ -223,8 +302,8 @@ def bench_tpu() -> dict:
                                           pallas_tables(regs))
     from versatilefilmgrain_tpu.ops.grain_natural import (
         make_batched_step as make_natural_step, natural_tables)
-    natural_step, natural_fps = _try_engine(make_natural_step,
-                                            natural_tables(regs))
+    nt = natural_tables(regs)
+    natural_step, natural_fps = _try_engine(make_natural_step, nt)
 
     name, fps, step = max(
         (("xla", fast_fps, fast_step), ("pallas", pallas_fps, pallas_step),
@@ -248,6 +327,53 @@ def bench_tpu() -> dict:
                + jnp.sum(out[1].astype(jnp.uint32))
                + jnp.sum(out[2].astype(jnp.uint32)))
 
+    # --- compute roofline (the natural engine is MXU-bound, not copy-bound) -
+    compute_fps = peak_macs = None
+    macs_frame = _natural_macs_per_frame(nt, W, H, 2)
+    if natural_fps and jax.default_backend() == "tpu":
+        peak_macs = _measured_mxu_peak(cargs)
+        compute_fps = peak_macs / macs_frame
+        print(f"bench: rooflines copy={roofline_fps:.0f} fps "
+              f"({roofline_gbps:.0f} GB/s) | compute={compute_fps:.0f} fps "
+              f"(measured int8 MXU peak {peak_macs / 1e12:.1f} TMAC/s, "
+              f"{macs_frame / 1e9:.2f} GMAC/frame one-hot contraction) -> "
+              f"binding={'compute' if compute_fps < roofline_fps else 'copy'}"
+              f" -> natural engine at "
+              f"{100 * natural_fps / min(compute_fps, roofline_fps):.1f}% of "
+              f"reachable", file=sys.stderr)
+        assert natural_fps <= compute_fps * 1.15, (
+            f"natural {natural_fps:.0f} fps exceeds the measured compute "
+            f"roofline {compute_fps:.0f} fps — MAC model or peak measurement "
+            f"is broken")
+
+    # --- config matrix: SEI-AR + AFGS1 on real Mosaic (perf + bit-exactness)
+    matrix = {}
+    if natural_fps and jax.default_backend() == "tpu":
+        cfgdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tests", "golden", "cfg")
+        for kind, fname in (("sei_ar", "fgs_sei_ar_test1.cfg"),
+                            ("afgs1", "fgs_afgs1_test1.cfg")):
+            regs_k = _regs_from_cfg(os.path.join(cfgdir, fname))
+            nt_k = natural_tables(regs_k)
+            bases_k, bases_up_k = _frame_bases(regs_k, F, R, C)
+            cargs_k = (jnp.asarray(bases_k), jnp.asarray(bases_up_k))
+            step_k = make_natural_step(nt_k, height=H, width=W, bs=2,
+                                       csubx=2, csuby=2)
+            fps_k = _chain_fps(step_k, state0, cargs_k)
+            ref_k = fast_inner(*state0, *cargs_k,
+                               *fast_args(fast_tables(regs_k)))
+            out_k = step_k(*state0, *cargs_k)
+            for p in range(3):
+                assert jnp.array_equal(ref_k[p], out_k[p]), (
+                    f"natural engine diverges from the XLA engine on-device "
+                    f"for {kind} (plane {p}) — Mosaic kernel bug")
+            n_pat_k = nt_k["pat2_luma"].shape[0] // 18
+            matrix[kind] = (fps_k, n_pat_k)
+        print("bench: matrix "
+              + " | ".join(f"{k}: natural={v[0]:.1f} fps (n_pat={v[1]}, "
+                           f"bit-exact vs XLA on-device)"
+                           for k, v in matrix.items()), file=sys.stderr)
+
     gbps = fps * 2 * FRAME_BYTES / 1e9
     print(f"bench: dev={getattr(dev, 'device_kind', '?')} engine={name} "
           f"chained={fps:.1f} fps (repeat {fps2:.1f}) "
@@ -266,8 +392,10 @@ def bench_tpu() -> dict:
         f"repeat measurements diverge {100 * rel:.0f}% "
         f"({fps:.0f} vs {fps2:.0f} fps) — unstable timing")
     return {"fps": min(fps, fps2), "engine": name,
-            "roofline_fps": roofline_fps, "xla_fps": fast_fps,
-            "pallas_fps": pallas_fps, "natural_fps": natural_fps}
+            "roofline_fps": roofline_fps, "compute_roofline_fps": compute_fps,
+            "xla_fps": fast_fps, "pallas_fps": pallas_fps,
+            "natural_fps": natural_fps,
+            "matrix": {k: v[0] for k, v in matrix.items()}}
 
 
 def main():
