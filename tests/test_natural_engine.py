@@ -205,3 +205,37 @@ def test_natural_matches_fast_random_cfg(seed):
         for p, (r, q) in enumerate(zip(fast, nout)):
             assert np.array_equal(np.asarray(r), np.asarray(q)[fi]), \
                 f"seed {seed} frame {f} plane {p}"
+
+
+def test_lutdot_path_matches_chain():
+    """Forcing the LUT-dot evaluation (threshold=0) on a config that would
+    normally run the compare/add chain produces identical integers, and the
+    default threshold actually splits SEI (chain) from AFGS1 (LUT-dot)."""
+    H, W = 144, 256
+    R, C = H // 16, W // 16
+    regs = _regs_for("sei_ff", 10, (2, 2))
+    nt_chain = natural_tables(regs)
+    nt_dot = natural_tables(regs, lut_dot_threshold=0)
+    assert nt_chain["lutdot"] == (False, False, False)
+    assert nt_dot["lutdot"] == (True, True, True)
+    afgs = _regs_for("afgs1", 10, (2, 2))
+    # luma/Cr ramps degenerate the run-length chain; Cb's constant 60->60
+    # scaling stays cheap and keeps the chain -- a per-component decision.
+    assert natural_tables(afgs)["lutdot"] == (True, False, True)
+
+    rng = np.random.default_rng(5)
+    y = rng.integers(0, 1024, (2, H, W)).astype(np.uint16)
+    u = rng.integers(0, 1024, (2, H // 2, W // 2)).astype(np.uint16)
+    v = rng.integers(0, 1024, (2, H // 2, W // 2)).astype(np.uint16)
+    bases = []
+    for f in (0, 2):
+        e0 = lfsr.frame_base_exponent(f, R, C)
+        bases.append(int(lfsr.advance(np.uint32(regs.seed_state), e0)))
+    b = jnp.asarray(np.array(bases, np.uint32))
+    outs = []
+    for nt in (nt_chain, nt_dot):
+        outs.append(add_grain_batch_natural(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), b, b, nt,
+            height=H, width=W, bs=2, csubx=2, csuby=2, interpret=True))
+    for p, (a, bb) in enumerate(zip(*outs)):
+        assert np.array_equal(np.asarray(a), np.asarray(bb)), f"plane {p}"

@@ -33,9 +33,12 @@ that assembles pattern windows:
   contraction is tiny), so fusing lets Mosaic hide it under the luma dot:
   measured 4.04 ms -> 3.29 ms per 8-frame 4K step vs three calls.
 
-* **Packed per-lane metadata.**  The XLA-side state lattice collapses to ONE
-  int32 word per lane -- (t>>2) | (t&3)<<8 | (sign<0)<<10 -- halving the
-  per-lane HBM traffic vs separate t/sign arrays.
+* **Packed per-lane metadata.**  The XLA-side state lattice collapses to
+  ONE int32 word per lane -- t | (sign<0)<<10 -- halving the per-lane HBM
+  traffic vs separate t/sign arrays.  The block->lane broadcast-reshape
+  this prep pays for is a tiled relayout; the measured-and-rejected
+  alternatives (int16 words, XLA matmul expansion, three in-kernel
+  expansion schemes) are in _lane_words's docstring.
 
 * **Overlap rows ride a VMEM carry.**  Vertical overlap needs the previous
   block row's window rows bh..bh+n_ov-1 at the previous row's offsets
@@ -54,6 +57,17 @@ that assembles pattern windows:
   (vfgs_hw.c:250-258) is a masked 3-tap over lane rolls whose
   block-boundary mask is hoisted to a constant input (it only depends on
   the lane index).
+
+* **LUT-dot path for dense LUTs.**  AFGS1's piecewise-linear scale LUT
+  (vfgs_fw.c:648-660 via models/fw.py make_lut_piecewise_linear) changes
+  value at ~every intensity, so its run-length decomposition degenerates to
+  >100 segments and the compare/add chain becomes the step's dominant VPU
+  cost (measured: 1,102 fps vs 2,328 for the 8-pattern SEI default).  When a
+  component's segment count exceeds ``LUT_DOT_THRESHOLD``, the kernel
+  instead evaluates the 256-entry LUT as one more byte-packed one-hot MXU
+  contraction per strip row: one-hot(intensity) (256, W) int8 against the
+  packed LUT's (lo, hi) byte rows (2, 256) int8.  Same integers, ~1/3 the
+  VPU work for AFGS1-class LUTs, and the added MACs ride the idle MXU.
 
 Identical integers to ops/grain_jnp.py come out; tests/test_natural_engine.py
 checks bit-exactness against the fast engine in interpret mode, and bench.py
@@ -76,6 +90,12 @@ from .offsets import block_offsets
 from .grain_fast import build_segments
 
 _PACK_SHIFT = 9  # scale in bits 0..8, pattern index in bits 9..12
+
+# Above this run-length segment count, a component's (scale, pattern) LUT is
+# evaluated as a per-row one-hot MXU contraction instead of the compare/add
+# chain (chain cost is ~2*nseg VPU passes vs a fixed ~128 word-ops + one tiny
+# dot for the LUT-dot path; crossover measured on v5e, tools/probe_budget.py).
+LUT_DOT_THRESHOLD = 40
 
 
 # ---------------------------------------------------------------------------
@@ -108,8 +128,13 @@ def _pack_pattern2(pattern_class: np.ndarray, bh: int, bw: int, n_ov: int,
     return out
 
 
-def natural_tables(regs) -> dict:
-    """Kernel-ready packaging of the register file (cf. fast_tables)."""
+def natural_tables(regs, *, lut_dot_threshold: int = LUT_DOT_THRESHOLD) -> dict:
+    """Kernel-ready packaging of the register file (cf. fast_tables).
+
+    ``lut_dot_threshold``: per-component segment count above which the
+    kernel evaluates the packed (scale, pattern) LUT with the one-hot MXU
+    contraction instead of the run-length chain (0 forces the LUT-dot path
+    everywhere — used by tests to cross-validate the two)."""
     csubx, csuby = regs.csubx, regs.csuby
     n_pat_l = (int(np.max(np.asarray(regs.plut[0]))) >> 4) + 1
     n_pat_c = (max(int(np.max(np.asarray(regs.plut[1]))),
@@ -121,16 +146,30 @@ def natural_tables(regs) -> dict:
                             4 // csuby, 4 // csubx, n_pat_c)
     seg = [build_segments(regs.slut[c], regs.plut[c]) for c in range(3)]
     nseg_per = tuple(len(s) for s, _ in seg)
-    S = max(nseg_per)
+    lutdot = tuple(n > lut_dot_threshold for n in nseg_per)
+    S = max((n for n, ld in zip(nseg_per, lutdot) if not ld), default=1)
     S = -(-S // 8) * 8
     starts = np.zeros((3, S), np.int32)
     deltas = np.zeros((3, S), np.int32)
     for c, (s, d) in enumerate(seg):
+        if lutdot[c]:
+            continue   # this component never runs the chain
         starts[c, :len(s)] = s
         deltas[c, :len(d)] = d
+    # Packed (scale | pattern<<_PACK_SHIFT) LUT as (lo, hi) int8 byte rows
+    # per component: the LUT-dot path contracts one-hot(intensity) against
+    # rows (2c, 2c+1); exactly the values the chain would accumulate.
+    lut_bytes = np.zeros((6, 256), np.int8)
+    for c in range(3):
+        packed = (np.asarray(regs.slut[c], np.int32)
+                  | ((np.asarray(regs.plut[c], np.int32) >> 4) << _PACK_SHIFT))
+        lut_bytes[2 * c] = (packed & 0xFF).astype(np.uint8).view(np.int8)
+        lut_bytes[2 * c + 1] = ((packed >> 8) & 0xFF).astype(
+            np.uint8).view(np.int8)
     return dict(
         pat2_luma=pat2_l, pat2_chroma=pat2_c,
         seg_starts=starts, seg_deltas=deltas, nseg_per=nseg_per,
+        lutdot=lutdot, lut_bytes=lut_bytes,
         scale_shift=int(regs.scale_shift),
         y_min=int(regs.y_min), y_max=int(regs.y_max),
         c_min=int(regs.c_min), c_max=int(regs.c_max),
@@ -171,6 +210,8 @@ def _mux(planes, pi):
     return cur[0]
 
 
+
+
 def _build_onehot(w, K: int, Wp: int):
     """(K, Wp) int8 one-hot of t from the packed lane word ``w`` (1, Wp),
     plus the decoded per-lane sign.
@@ -186,22 +227,25 @@ def _build_onehot(w, K: int, Wp: int):
     return onehot, sg
 
 
-def _strip_body(r0, x_ref, w_ref, segs_ref, segd_ref, pat_ref, mask_ref,
-                out_ref, carry_ref, *, bh, bw, n_ov, n_pat, nseg, K, bs,
-                scale_shift, imin, imax, Wp, boot=None):
+def _strip_body(r0, x_ref, w, segs_ref, segd_ref, pat_ref, mask_ref,
+                lut_ref, out_ref, carry_ref, *, bh, bw, n_ov, n_pat, nseg,
+                K, bs, scale_shift, imin, imax, Wp, lutdot=False, boot=None):
     """Grain one (bh, Wp) strip of one plane; carry persists across the
-    sequential grid.  ``boot`` (shard_map path) is (wup_ref, patup_ref,
-    blend0_ref): the shard's first block row seeds the carry from the
-    up-state word instead of a previous grid step."""
+    sequential grid.  ``w``: the plane's (1, Wp) packed lane word (loaded
+    from the lane-word input stream).  ``boot`` (shard_map path) is
+    (wup, patup_ref, blend0_ref): the shard's first block row seeds the
+    carry from the up-state's lane word instead of a previous grid step.
+    ``lutdot`` selects the one-hot MXU evaluation of the packed LUT
+    (``lut_ref``: its (lo, hi) int8 byte rows) over the run-length chain."""
     rows = bh + n_ov
     if boot is not None:
-        wup_ref, patup_ref, blend0_ref = boot
+        wup, patup_ref, blend0_ref = boot
 
         @pl.when(r0 == 0)
         def _seed():
             # Zero halo: the up row's candidates derive from states, not
             # neighbouring pixels (cf. ops/grain_fast.py plane_grain_fast).
-            ohu, sgu = _build_onehot(wup_ref[0, 0, 0:1], K, Wp)
+            ohu, sgu = _build_onehot(wup, K, Wp)
             cu = jax.lax.dot_general(patup_ref[:], ohu,
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.int32)
@@ -210,20 +254,38 @@ def _strip_body(r0, x_ref, w_ref, segs_ref, segd_ref, pat_ref, mask_ref,
     x = x_ref[0].astype(jnp.int32)                             # (bh, Wp)
     inten = (x >> bs) & 0xFF
 
-    # Packed (scale | pattern<<9) via run-length compare/add chain.
-    acc = jnp.zeros_like(inten)
-    for k in range(nseg):
-        acc = acc + jnp.where(inten >= segs_ref[k], segd_ref[k], 0)
-    sc = acc & ((1 << _PACK_SHIFT) - 1)
-    pi = acc >> _PACK_SHIFT
-
     # All n_pat pattern candidates (plus the next strip's overlap rows),
     # assembled on the MXU directly in natural lane order: the contraction
-    # over the (k == t) one-hot IS the window fetch + relayout.
-    onehot, sg = _build_onehot(w_ref[0, 0, 0:1], K, Wp)
+    # over the (k == t) one-hot IS the window fetch + relayout.  Issued
+    # FIRST so the LUT evaluation below runs on the VPU while the MXU
+    # crunches (measured -0.12 ms/step, tools/probe_budget.py).
+    onehot, sg = _build_onehot(w, K, Wp)
     cand = jax.lax.dot_general(pat_ref[:], onehot,
                                (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
+
+    if lutdot:
+        # Packed (scale | pattern<<9) via one-hot LUT contraction: per row,
+        # byte-packed one-hot of the intensity against the LUT's byte rows.
+        q4io = jax.lax.broadcasted_iota(jnp.int32, (64, Wp), 0)
+        lrows = []
+        for yy in range(bh):
+            iv = inten[yy:yy + 1]
+            w64 = jnp.where(q4io == (iv >> 2),
+                            jnp.int32(1) << ((iv & 3) << 3), 0)
+            oh = pltpu.bitcast(w64, jnp.int8)                  # (256, Wp)
+            lh = jax.lax.dot_general(lut_ref[:], oh,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+            lrows.append((lh[0:1] & 0xFF) | ((lh[1:2] & 0xFF) << 8))
+        acc = jnp.concatenate(lrows, axis=0)
+    else:
+        # Packed (scale | pattern<<9) via run-length compare/add chain.
+        acc = jnp.zeros_like(inten)
+        for k in range(nseg):
+            acc = acc + jnp.where(inten >= segs_ref[k], segd_ref[k], 0)
+    sc = acc & ((1 << _PACK_SHIFT) - 1)
+    pi = acc >> _PACK_SHIFT
 
     # Pattern mux on static row slices (lane layout untouched).  The
     # per-lane sign is uniform across candidate rows, so it commutes with
@@ -273,9 +335,10 @@ def _fused_pallas(planes, words, segs3, segd3, pat_l, pat_c, *, meta,
     """One pallas_call graining all three planes per (frame, block row).
 
     ``planes``: (y, u, v) natural (F, R*bh_c, Wp_c) arrays; ``words``: the
-    three packed lane-word arrays (F, R, 1, Wp_c); ``meta``: static per-call
-    config (bh/bw/n_ov per plane class, nseg per component, clip ranges,
-    scale shift, bs); ``boot`` (shard_map path): (words_up, blend0)."""
+    three packed lane-word arrays (F, R, 1, Wp_c); ``meta``: static
+    per-call config (bh/bw/n_ov per plane class, nseg per component, clip
+    ranges, scale shift, bs); ``boot`` (shard_map path):
+    (words_up, blend0)."""
     y, u, v = planes
     F, Hp, Wp = y.shape
     R = Hp // 16
@@ -287,36 +350,43 @@ def _fused_pallas(planes, words, segs3, segd3, pat_l, pat_c, *, meta,
     mask_l = jnp.asarray(_deblock_mask(16, 16, Wp))
     mask_c = jnp.asarray(_deblock_mask(bh_c, bw_c, Wc))
 
+    lutdot = meta.get("lutdot", (False, False, False))
     pcommon = dict(bs=meta["bs"], scale_shift=meta["scale_shift"])
     pl_luma = dict(bh=16, bw=16, n_ov=2, n_pat=n_pat_l, K=K_l, Wp=Wp,
                    nseg=meta["nseg_per"][0], imin=meta["y_min"],
-                   imax=meta["y_max"], **pcommon)
+                   imax=meta["y_max"], lutdot=lutdot[0], **pcommon)
     pl_chroma = [dict(bh=bh_c, bw=bw_c, n_ov=n_ov_c, n_pat=n_pat_c, K=K_c,
                       Wp=Wc, nseg=meta["nseg_per"][c], imin=meta["c_min"],
-                      imax=meta["c_max"], **pcommon) for c in (1, 2)]
+                      imax=meta["c_max"], lutdot=lutdot[c], **pcommon)
+                 for c in (1, 2)]
+    lut6 = jnp.asarray(meta["lut_bytes"])
+
+    def _w32(ref):
+        return ref[0, 0, 0:1]
 
     def kernel(*refs):
         (y_ref, u_ref, v_ref, wy_ref, wu_ref, wv_ref,
          sy_ref, dy_ref, su_ref, du_ref, sv_ref, dv_ref,
-         patl_ref, patc_ref, ml_ref, mc_ref) = refs[:16]
-        k = 16
+         patl_ref, patc_ref, ml_ref, mc_ref, lut6_ref) = refs[:17]
+        k = 17
         if boot is not None:
             (wyu_ref, wuu_ref, wvu_ref, patlu_ref, patcu_ref,
              b0_ref) = refs[k:k + 6]
             k += 6
         oy_ref, ou_ref, ov_ref, cy_ref, cu_ref, cv_ref = refs[k:k + 6]
         r0 = pl.program_id(1)
-        _strip_body(r0, y_ref, wy_ref, sy_ref, dy_ref, patl_ref, ml_ref,
-                    oy_ref, cy_ref,
-                    boot=(wyu_ref, patlu_ref, b0_ref) if boot else None,
+        boots = [None] * 3
+        if boot is not None:
+            boots = [(_w32(wr), patlu_ref if c == 0 else patcu_ref, b0_ref)
+                     for c, wr in enumerate((wyu_ref, wuu_ref, wvu_ref))]
+        _strip_body(r0, y_ref, _w32(wy_ref), sy_ref, dy_ref, patl_ref,
+                    ml_ref, lut6_ref[0:2], oy_ref, cy_ref, boot=boots[0],
                     **pl_luma)
-        _strip_body(r0, u_ref, wu_ref, su_ref, du_ref, patc_ref, mc_ref,
-                    ou_ref, cu_ref,
-                    boot=(wuu_ref, patcu_ref, b0_ref) if boot else None,
+        _strip_body(r0, u_ref, _w32(wu_ref), su_ref, du_ref, patc_ref,
+                    mc_ref, lut6_ref[2:4], ou_ref, cu_ref, boot=boots[1],
                     **pl_chroma[0])
-        _strip_body(r0, v_ref, wv_ref, sv_ref, dv_ref, patc_ref, mc_ref,
-                    ov_ref, cv_ref,
-                    boot=(wvu_ref, patcu_ref, b0_ref) if boot else None,
+        _strip_body(r0, v_ref, _w32(wv_ref), sv_ref, dv_ref, patc_ref,
+                    mc_ref, lut6_ref[4:6], ov_ref, cv_ref, boot=boots[2],
                     **pl_chroma[1])
 
     ystrip = pl.BlockSpec((1, 16, Wp), lambda f, r: (f, r, 0),
@@ -336,9 +406,10 @@ def _fused_pallas(planes, words, segs3, segd3, pat_l, pat_c, *, meta,
     in_specs = [ystrip, cstrip, cstrip, ylane, clane, clane,
                 smem1(segs3[0]), smem1(segd3[0]), smem1(segs3[1]),
                 smem1(segd3[1]), smem1(segs3[2]), smem1(segd3[2]),
-                const2(pat_l), const2(pat_c), const2(mask_l), const2(mask_c)]
+                const2(pat_l), const2(pat_c), const2(mask_l), const2(mask_c),
+                const2(lut6)]
     args = [y, u, v, wy, wu, wv, segs3[0], segd3[0], segs3[1], segd3[1],
-            segs3[2], segd3[2], pat_l, pat_c, mask_l, mask_c]
+            segs3[2], segd3[2], pat_l, pat_c, mask_l, mask_c, lut6]
     if boot is not None:
         words_up, blend0 = boot
         patu_l = _up_rows(pat_l, 16, 2, n_pat_l)
@@ -400,9 +471,14 @@ def _lane_words(lat, c, csubx, csuby):
     bits 0..9 = t (one-hot row), bit 10 = sign<0.
 
     Everything is computed at BLOCK granularity (F, R, C) -- tiny arrays --
-    and expanded to lanes with one broadcast-add (the trailing reshape is a
-    free contiguous view), so the XLA prep never materializes more than one
-    full-lane-width intermediate per plane."""
+    and expanded to lanes with one broadcast-add + reshape.  Round-4
+    alternatives, all measured neutral-to-worse on hardware (chained 4K
+    8-frame step, baseline 3.40 ms): int16 words (3.50 ms), expanding via
+    a batched int8 matmul in XLA (3.46 ms), and expanding inside the
+    kernel -- per plane (3.86), as one merged dot (4.03), or
+    software-pipelined one strip ahead into VMEM scratch (4.18) -- the
+    skinny (M=6) expansion dot streams its (Cp, W) one-hot operand through
+    the MXU for only ~12 M MACs of useful work, stalling the pipeline."""
     subx = csubx if c else 1
     suby = csuby if c else 1
     bw = 16 // subx
@@ -422,6 +498,8 @@ def _call_meta(tables: dict, bs: int) -> dict:
     return dict(
         bs=bs, scale_shift=tables["scale_shift"],
         nseg_per=tuple(int(n) for n in nseg_per),
+        lutdot=tuple(tables.get("lutdot", (False, False, False))),
+        lut_bytes=tables["lut_bytes"],
         y_min=tables["y_min"], y_max=tables["y_max"],
         c_min=tables["c_min"], c_max=tables["c_max"],
         bh_c=tables["bh_c"], bw_c=tables["bw_c"], n_ov_c=tables["n_ov_c"])
