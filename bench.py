@@ -212,24 +212,29 @@ def _natural_macs_per_frame(nt: dict, width: int, height: int,
 
 def _measured_mxu_peak(cargs) -> float:
     """Chip int8 MXU peak in MACs/s, measured with the same chained
-    methodology: a self-feeding fori_loop of (1024,1024)x(1024,3840) int8
-    matmuls (N matches the engine's lane count)."""
+    methodology: a self-feeding fori_loop of (4096,4096)x(4096,3840) int8
+    matmuls (N matches the engine's lane count).
+
+    The feedback consumes a LOOP-INDEX-DEPENDENT row of the product, so
+    XLA cannot dead-code-eliminate any output rows (feeding back a fixed
+    row let it compute a 1-row matmul and report an impossible 1.3e15
+    MACs/s), and the per-iteration elementwise cost — one broadcast-xor
+    over the int8 state — is ~3% of the matmul at this K."""
     import jax
     import jax.numpy as jnp
 
-    K_, N_, INNER = 2048, 3840, 16
+    K_, N_, INNER = 4096, 3840, 8
     rng = np.random.default_rng(3)
     Wm = jnp.asarray(rng.integers(-4, 5, (K_, K_), dtype=np.int8))
     x0 = jnp.asarray(rng.integers(-4, 5, (1, K_, N_), dtype=np.int8))
 
     @jax.jit
     def mxu_step(x, u, v, b, bu):
-        def body(_, s):
+        def body(i, s):
             y = jax.lax.dot_general(Wm, s[0], (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
-            # dependency feedback at ~3% of the matmul's cost: one int8
-            # xor pass against a single broadcast row of the product
-            return (s[0] ^ (y[:1] & 1).astype(jnp.int8))[None]
+            row = jax.lax.dynamic_slice_in_dim(y, i & (K_ - 1), 1, 0)
+            return (s[0] ^ (row & 1).astype(jnp.int8))[None]
 
         x = jax.lax.fori_loop(0, INNER, body, x)
         return x, x, x
