@@ -187,24 +187,30 @@ def test_natural_matches_fast_random_cfg(seed):
         bases_up.append(int(lfsr.advance(np.uint32(regs.seed_state), e0 - C))
                         if e0 else bases[-1])
 
-    nt = natural_tables(regs)
-    nout = add_grain_batch_natural(
-        jnp.asarray(np.stack([y] * len(frames))),
-        jnp.asarray(np.stack([u] * len(frames))),
-        jnp.asarray(np.stack([v] * len(frames))),
-        jnp.asarray(np.array(bases, np.uint32)),
-        jnp.asarray(np.array(bases_up, np.uint32)),
-        nt, height=H, width=W, bs=bs, csubx=csubx, csuby=csuby,
-        interpret=True)
     ft = fast_tables(regs)
-    for fi, f in enumerate(frames):
-        fast = add_grain_frame_fast_jit(
-            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-            jnp.uint32(bases[fi]), jnp.uint32(bases_up[fi]), *fast_args(ft),
-            height=H, width=W, bs=bs, csubx=csubx, csuby=csuby)
-        for p, (r, q) in enumerate(zip(fast, nout)):
-            assert np.array_equal(np.asarray(r), np.asarray(q)[fi]), \
-                f"seed {seed} frame {f} plane {p}"
+    # threshold=default exercises the chain/LUT-dot split the config would
+    # get in production; threshold=0 forces the LUT-dot path on every
+    # component, differentially fuzzing it across random LUT shapes.
+    for thr in (None, 0):
+        nt = (natural_tables(regs) if thr is None
+              else natural_tables(regs, lut_dot_threshold=0))
+        nout = add_grain_batch_natural(
+            jnp.asarray(np.stack([y] * len(frames))),
+            jnp.asarray(np.stack([u] * len(frames))),
+            jnp.asarray(np.stack([v] * len(frames))),
+            jnp.asarray(np.array(bases, np.uint32)),
+            jnp.asarray(np.array(bases_up, np.uint32)),
+            nt, height=H, width=W, bs=bs, csubx=csubx, csuby=csuby,
+            interpret=True)
+        for fi, f in enumerate(frames):
+            fast = add_grain_frame_fast_jit(
+                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                jnp.uint32(bases[fi]), jnp.uint32(bases_up[fi]),
+                *fast_args(ft),
+                height=H, width=W, bs=bs, csubx=csubx, csuby=csuby)
+            for p, (r, q) in enumerate(zip(fast, nout)):
+                assert np.array_equal(np.asarray(r), np.asarray(q)[fi]), \
+                    f"seed {seed} thr {thr} frame {f} plane {p}"
 
 
 def test_lutdot_path_matches_chain():
