@@ -449,23 +449,6 @@ def _up_rows(pat2, bh, n_ov, n_pat):
 # XLA wrapper: state lattice + packed per-lane kernel words
 # ---------------------------------------------------------------------------
 
-def _lane_arrays(lat, c, csubx, csuby):
-    """Per-lane one-hot target t and sign for component c, (F, R, 1, C*bw)."""
-    subx = csubx if c else 1
-    suby = csuby if c else 1
-    bw = 16 // subx
-    ymul, xmul = 4 // suby, 4 // subx
-    KC = 16 * xmul
-    s, ox, oy = block_offsets(lat, c, csubx, csuby)
-    baset = ((oy // ymul) * KC + ox).astype(jnp.int32)     # (F, R, C)
-    i = np.arange(bw, dtype=np.int32)
-    F, R, C = baset.shape
-    t = (baset[..., None] + i).reshape(F, R, 1, C * bw)
-    sign = jnp.broadcast_to(s.astype(jnp.int32)[..., None],
-                            (F, R, C, bw)).reshape(F, R, 1, C * bw)
-    return t, sign
-
-
 def _lane_words(lat, c, csubx, csuby):
     """Packed per-lane kernel word for component c, (F, R, 1, C*bw) int32:
     bits 0..9 = t (one-hot row), bit 10 = sign<0.
