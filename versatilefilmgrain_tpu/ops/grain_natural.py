@@ -361,7 +361,8 @@ def _fused_pallas(planes, words, segs3, segd3, pat_l, pat_c, *, meta,
                  for c in (1, 2)]
     lut6 = jnp.asarray(meta["lut_bytes"])
 
-    def _w32(ref):
+    def _wrow(ref):
+        """Load a lane-word stream block as the (1, W) strip row."""
         return ref[0, 0, 0:1]
 
     def kernel(*refs):
@@ -377,15 +378,15 @@ def _fused_pallas(planes, words, segs3, segd3, pat_l, pat_c, *, meta,
         r0 = pl.program_id(1)
         boots = [None] * 3
         if boot is not None:
-            boots = [(_w32(wr), patlu_ref if c == 0 else patcu_ref, b0_ref)
+            boots = [(_wrow(wr), patlu_ref if c == 0 else patcu_ref, b0_ref)
                      for c, wr in enumerate((wyu_ref, wuu_ref, wvu_ref))]
-        _strip_body(r0, y_ref, _w32(wy_ref), sy_ref, dy_ref, patl_ref,
+        _strip_body(r0, y_ref, _wrow(wy_ref), sy_ref, dy_ref, patl_ref,
                     ml_ref, lut6_ref[0:2], oy_ref, cy_ref, boot=boots[0],
                     **pl_luma)
-        _strip_body(r0, u_ref, _w32(wu_ref), su_ref, du_ref, patc_ref,
+        _strip_body(r0, u_ref, _wrow(wu_ref), su_ref, du_ref, patc_ref,
                     mc_ref, lut6_ref[2:4], ou_ref, cu_ref, boot=boots[1],
                     **pl_chroma[0])
-        _strip_body(r0, v_ref, _w32(wv_ref), sv_ref, dv_ref, patc_ref,
+        _strip_body(r0, v_ref, _wrow(wv_ref), sv_ref, dv_ref, patc_ref,
                     mc_ref, lut6_ref[4:6], ov_ref, cv_ref, boot=boots[2],
                     **pl_chroma[1])
 
