@@ -202,14 +202,20 @@ def _regs_from_cfg(path: str, depth: int = 10, csub=(2, 2)):
 
 
 def _natural_macs_per_frame(nt: dict, width: int, height: int,
-                            csubx: int) -> int:
-    """Int8 MXU MACs/frame of the natural engine's one-hot contraction:
-    per block row, each plane contracts (n_pat*(bh+n_ov), 12*KC) against
-    its (12*KC, W) one-hot."""
+                            csubx: int, csuby: int = 2) -> int:
+    """Int8 MXU MACs/frame of the natural engine's MXU work: per block
+    row, each plane contracts (n_pat*(bh+n_ov), 12*KC) against its
+    (12*KC, W) one-hot, and a component on the LUT-dot path adds one
+    (2, 256) x (256, W) contraction per pixel row."""
     R = height // 16
     macs = nt["pat2_luma"].shape[0] * nt["pat2_luma"].shape[1] * width * R
     macs += 2 * (nt["pat2_chroma"].shape[0] * nt["pat2_chroma"].shape[1]
                  * (width // csubx) * R)
+    for c, mode in enumerate(nt.get("lut_mode", ("chain",) * 3)):
+        if mode == "lutdot":
+            wc = width // (csubx if c else 1)
+            hc = height // (csuby if c else 1)
+            macs += hc * 2 * 256 * wc
     return macs
 
 
@@ -355,6 +361,9 @@ def bench_tpu() -> dict:
             f"is broken")
 
     # --- config matrix: SEI-AR + AFGS1 on real Mosaic (perf + bit-exactness)
+    # Every row reports fps as % of ITS OWN reachable ceiling
+    # min(copy roofline, that config's compute ceiling), so few-pattern
+    # configs cannot hide behind the default's headline.
     matrix = {}
     if natural_fps and jax.default_backend() == "tpu":
         cfgdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -376,11 +385,70 @@ def bench_tpu() -> dict:
                     f"natural engine diverges from the XLA engine on-device "
                     f"for {kind} (plane {p}) — Mosaic kernel bug")
             n_pat_k = nt_k["pat2_luma"].shape[0] // 18
-            matrix[kind] = (fps_k, n_pat_k)
+            compute_k = peak_macs / _natural_macs_per_frame(nt_k, W, H, 2)
+            reach_k = min(roofline_fps, compute_k)
+            assert fps_k <= reach_k * 1.15, (
+                f"{kind} {fps_k:.0f} fps exceeds its reachable ceiling "
+                f"{reach_k:.0f} fps — MAC model or peak measurement broken")
+            matrix[kind] = (fps_k, n_pat_k, reach_k)
         print("bench: matrix "
-              + " | ".join(f"{k}: natural={v[0]:.1f} fps (n_pat={v[1]}, "
+              + " | ".join(f"{k}: natural={v[0]:.1f} fps = "
+                           f"{100 * v[0] / v[2]:.0f}% of reachable "
+                           f"({v[2] / 1000:.1f}k, n_pat={v[1]}, "
                            f"bit-exact vs XLA on-device)"
                            for k, v in matrix.items()), file=sys.stderr)
+
+    # --- Mosaic kernel-variant gate: other formats/depths/LUT paths compile
+    # DIFFERENT Mosaic kernels (chroma block geometry, bs=0 intensity path,
+    # forced LUT evaluation modes); each runs bit-exact against the XLA
+    # engine on small frames here — a correctness gate, not a perf number.
+    if natural_fps and jax.default_backend() == "tpu":
+        from __graft_entry__ import _sei_regs
+        from versatilefilmgrain_tpu.ops.grain_fast import \
+            add_grain_frame_fast_jit
+
+        H2, W2 = 160, 256
+        R2, C2 = H2 // 16, W2 // 16
+        F2 = 2
+        variants = [
+            ("422_10b", _default_regs(10, (2, 1)), 10, (2, 1), {}),
+            ("444_10b_lumaonly", _sei_regs(10, (1, 1)), 10, (1, 1), {}),
+            ("420_8b", _default_regs(8, (2, 2)), 8, (2, 2), {}),
+            ("420_forced_lutdot", _default_regs(), 10, (2, 2),
+             dict(lut_dot_threshold=0)),
+            ("420_forced_pwl", _default_regs(), 10, (2, 2),
+             dict(force_lut_path="pwl")),
+        ]
+        for vname, regs_v, depth, (sx, sy), ntkw in variants:
+            bs_v = depth - 8
+            hi = (1 << depth) - 1
+            rngv = np.random.default_rng(17)
+            sv = (jnp.asarray(rngv.integers(0, hi + 1, (F2, H2, W2),
+                                            np.uint16)),
+                  jnp.asarray(rngv.integers(0, hi + 1,
+                                            (F2, H2 // sy, W2 // sx),
+                                            np.uint16)),
+                  jnp.asarray(rngv.integers(0, hi + 1,
+                                            (F2, H2 // sy, W2 // sx),
+                                            np.uint16)))
+            bases_v, bases_up_v = _frame_bases(regs_v, F2, R2, C2)
+            step_v = make_natural_step(natural_tables(regs_v, **ntkw),
+                                       height=H2, width=W2, bs=bs_v,
+                                       csubx=sx, csuby=sy)
+            out_v = step_v(*sv, jnp.asarray(bases_v), jnp.asarray(bases_up_v))
+            fa_v = fast_args(fast_tables(regs_v))
+            for f in range(F2):
+                ref_v = add_grain_frame_fast_jit(
+                    sv[0][f], sv[1][f], sv[2][f], jnp.uint32(bases_v[f]),
+                    jnp.uint32(bases_up_v[f]), *fa_v, height=H2, width=W2,
+                    bs=bs_v, csubx=sx, csuby=sy)
+                for p in range(3):
+                    assert jnp.array_equal(ref_v[p], out_v[p][f]), (
+                        f"natural engine diverges from the XLA engine "
+                        f"on-device for variant {vname} (frame {f}, plane "
+                        f"{p}) — Mosaic kernel bug")
+            print(f"bench: variant {vname}: bit-exact vs XLA on-device",
+                  file=sys.stderr)
 
     gbps = fps * 2 * FRAME_BYTES / 1e9
     print(f"bench: dev={getattr(dev, 'device_kind', '?')} engine={name} "

@@ -188,12 +188,14 @@ def test_natural_matches_fast_random_cfg(seed):
                         if e0 else bases[-1])
 
     ft = fast_tables(regs)
-    # threshold=default exercises the chain/LUT-dot split the config would
-    # get in production; threshold=0 forces the LUT-dot path on every
-    # component, differentially fuzzing it across random LUT shapes.
-    for thr in (None, 0):
+    # threshold=default exercises the path split the config would get in
+    # production; threshold=0 forces the LUT-dot path and force="pwl" the
+    # piecewise-linear path on every component, differentially fuzzing both
+    # across random LUT shapes.
+    for thr in (None, 0, "pwl"):
         nt = (natural_tables(regs) if thr is None
-              else natural_tables(regs, lut_dot_threshold=0))
+              else natural_tables(regs, lut_dot_threshold=0) if thr == 0
+              else natural_tables(regs, force_lut_path="pwl"))
         nout = add_grain_batch_natural(
             jnp.asarray(np.stack([y] * len(frames))),
             jnp.asarray(np.stack([u] * len(frames))),
@@ -213,21 +215,25 @@ def test_natural_matches_fast_random_cfg(seed):
                     f"seed {seed} thr {thr} frame {f} plane {p}"
 
 
-def test_lutdot_path_matches_chain():
-    """Forcing the LUT-dot evaluation (threshold=0) on a config that would
+def test_lut_paths_match_chain():
+    """Forcing the LUT-dot and PWL evaluations on a config that would
     normally run the compare/add chain produces identical integers, and the
-    default threshold actually splits SEI (chain) from AFGS1 (LUT-dot)."""
+    default threshold actually splits SEI (chain) from AFGS1 (PWL)."""
     H, W = 144, 256
     R, C = H // 16, W // 16
     regs = _regs_for("sei_ff", 10, (2, 2))
     nt_chain = natural_tables(regs)
     nt_dot = natural_tables(regs, lut_dot_threshold=0)
-    assert nt_chain["lutdot"] == (False, False, False)
-    assert nt_dot["lutdot"] == (True, True, True)
+    nt_pwl = natural_tables(regs, force_lut_path="pwl")
+    assert nt_chain["lut_mode"] == ("chain", "chain", "chain")
+    assert nt_dot["lut_mode"] == ("lutdot", "lutdot", "lutdot")
+    assert nt_pwl["lut_mode"] == ("pwl", "pwl", "pwl")
     afgs = _regs_for("afgs1", 10, (2, 2))
-    # luma/Cr ramps degenerate the run-length chain; Cb's constant 60->60
-    # scaling stays cheap and keeps the chain -- a per-component decision.
-    assert natural_tables(afgs)["lutdot"] == (True, False, True)
+    # luma/Cr ramps degenerate the run-length chain and are exactly
+    # piecewise-linear (AFGS1 builds them that way, vfgs_fw.c:648-660);
+    # Cb's constant 60->60 scaling stays cheap and keeps the chain -- a
+    # per-component decision.
+    assert natural_tables(afgs)["lut_mode"] == ("pwl", "chain", "pwl")
 
     rng = np.random.default_rng(5)
     y = rng.integers(0, 1024, (2, H, W)).astype(np.uint16)
@@ -239,9 +245,10 @@ def test_lutdot_path_matches_chain():
         bases.append(int(lfsr.advance(np.uint32(regs.seed_state), e0)))
     b = jnp.asarray(np.array(bases, np.uint32))
     outs = []
-    for nt in (nt_chain, nt_dot):
+    for nt in (nt_chain, nt_dot, nt_pwl):
         outs.append(add_grain_batch_natural(
             jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), b, b, nt,
             height=H, width=W, bs=2, csubx=2, csuby=2, interpret=True))
-    for p, (a, bb) in enumerate(zip(*outs)):
+    for p, (a, bb, cc) in enumerate(zip(*outs)):
         assert np.array_equal(np.asarray(a), np.asarray(bb)), f"plane {p}"
+        assert np.array_equal(np.asarray(a), np.asarray(cc)), f"plane {p}"

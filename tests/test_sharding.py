@@ -23,15 +23,20 @@ H, W, F = 128, 256, 4
 R, C = H // 16, W // 16
 
 
-def _setup():
+def _setup(csub=(2, 2)):
     regs = HwRegs()
     regs.set_depth(10)
-    regs.set_chroma_subsampling(2, 2)
-    fw.init_sei(cfgmod.default_sei(), regs)
+    regs.set_chroma_subsampling(*csub)
+    sei = cfgmod.default_sei()
+    if csub == (1, 1):
+        # 4:4:4 requires luma-only grain (pipeline.check_cfg_sei).
+        sei.comp_model_present_flag = [1, 0, 0]
+    fw.init_sei(sei, regs)
     rng = np.random.default_rng(7)
+    sx, sy = csub
     y = rng.integers(0, 1024, (F, H, W)).astype(np.int32)
-    u = rng.integers(0, 1024, (F, H // 2, W // 2)).astype(np.int32)
-    v = rng.integers(0, 1024, (F, H // 2, W // 2)).astype(np.int32)
+    u = rng.integers(0, 1024, (F, H // sy, W // sx)).astype(np.int32)
+    v = rng.integers(0, 1024, (F, H // sy, W // sx)).astype(np.int32)
     bases, bases_up = [], []
     for f in range(F):
         e0 = lfsr.frame_base_exponent(f, R, C)
@@ -41,7 +46,7 @@ def _setup():
     return regs, y, u, v, np.array(bases, np.uint32), np.array(bases_up, np.uint32)
 
 
-def _reference_frames(regs, y, u, v, bases, bases_up):
+def _reference_frames(regs, y, u, v, bases, bases_up, csub=(2, 2)):
     dp = regs.device_params()
     outs = []
     for f in range(F):
@@ -51,22 +56,25 @@ def _reference_frames(regs, y, u, v, bases, bases_up):
             jnp.asarray(dp["pattern"]), jnp.asarray(dp["sluts"]),
             jnp.asarray(dp["pluts"]), dp["scale_shift"],
             dp["y_min"], dp["y_max"], dp["c_min"], dp["c_max"],
-            height=H, width=W, bs=2, csubx=2, csuby=2)
+            height=H, width=W, bs=2, csubx=csub[0], csuby=csub[1])
         outs.append(tuple(np.asarray(p) for p in o))
     return outs
 
 
+@pytest.mark.parametrize("csub", [(2, 2), (1, 1)],
+                         ids=["420", "444_lumaonly"])
 @pytest.mark.parametrize("shape", [(1, 1), (1, 8), (2, 4), (4, 2), (2, 2),
                                    (4, 1)])
-def test_mesh_invariance(shape):
+def test_mesh_invariance(shape, csub):
     nd, nt = shape
     if len(jax.devices()) < nd * nt:
         pytest.skip("not enough devices")
-    regs, y, u, v, bases, bases_up = _setup()
-    ref = _reference_frames(regs, y, u, v, bases, bases_up)
+    regs, y, u, v, bases, bases_up = _setup(csub)
+    ref = _reference_frames(regs, y, u, v, bases, bases_up, csub)
 
     m = pmesh.make_mesh(nd, nt)
-    step = pmesh.make_grain_step(m, height=H, width=W, bs=2, csubx=2, csuby=2)
+    step = pmesh.make_grain_step(m, height=H, width=W, bs=2,
+                                 csubx=csub[0], csuby=csub[1])
     from versatilefilmgrain_tpu.ops.grain_fast import fast_args, fast_tables
     ft = fast_tables(regs)
     yo, uo, vo = step(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
@@ -78,8 +86,10 @@ def test_mesh_invariance(shape):
         assert np.array_equal(np.asarray(vo)[f], ref[f][2]), f"V frame {f}"
 
 
+@pytest.mark.parametrize("csub", [(2, 2), (1, 1)],
+                         ids=["420", "444_lumaonly"])
 @pytest.mark.parametrize("shape", [(1, 8), (2, 4), (4, 1)])
-def test_mesh_invariance_natural(shape):
+def test_mesh_invariance_natural(shape, csub):
     """The natural-layout Pallas engine (production single-chip default)
     under shard_map: every mesh shape reproduces the single-device reference
     engine bit for bit, including tile shards whose first block row blends
@@ -87,13 +97,13 @@ def test_mesh_invariance_natural(shape):
     nd, nt = shape
     if len(jax.devices()) < nd * nt:
         pytest.skip("not enough devices")
-    regs, y, u, v, bases, bases_up = _setup()
-    ref = _reference_frames(regs, y, u, v, bases, bases_up)
+    regs, y, u, v, bases, bases_up = _setup(csub)
+    ref = _reference_frames(regs, y, u, v, bases, bases_up, csub)
 
     from versatilefilmgrain_tpu.ops.grain_natural import natural_tables
     m = pmesh.make_mesh(nd, nt)
-    step = pmesh.make_grain_step(m, height=H, width=W, bs=2, csubx=2,
-                                 csuby=2, engine="natural",
+    step = pmesh.make_grain_step(m, height=H, width=W, bs=2, csubx=csub[0],
+                                 csuby=csub[1], engine="natural",
                                  tables=natural_tables(regs),
                                  interpret=jax.default_backend() != "tpu")
     yo, uo, vo = step(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),

@@ -58,16 +58,22 @@ that assembles pattern windows:
   block-boundary mask is hoisted to a constant input (it only depends on
   the lane index).
 
-* **LUT-dot path for dense LUTs.**  AFGS1's piecewise-linear scale LUT
+* **Direct piecewise-linear path for dense LUTs.**  AFGS1's scale LUT
   (vfgs_fw.c:648-660 via models/fw.py make_lut_piecewise_linear) changes
   value at ~every intensity, so its run-length decomposition degenerates to
   >100 segments and the compare/add chain becomes the step's dominant VPU
-  cost (measured: 1,102 fps vs 2,328 for the 8-pattern SEI default).  When a
-  component's segment count exceeds ``LUT_DOT_THRESHOLD``, the kernel
-  instead evaluates the 256-entry LUT as one more byte-packed one-hot MXU
-  contraction per strip row: one-hot(intensity) (256, W) int8 against the
-  packed LUT's (lo, hi) byte rows (2, 256) int8.  Same integers, ~1/3 the
-  VPU work for AFGS1-class LUTs, and the added MACs ride the idle MXU.
+  cost (measured: 1,102 fps vs 2,328 for the 8-pattern SEI default).  Such
+  LUTs are exactly piecewise-linear in ~10-20 segments, so the kernel
+  evaluates the ORIGINAL integer lerp per pixel instead of the 256-entry
+  table: a DP fit (``fit_pwl``) recovers minimal exact segments host-side,
+  two shared-predicate select chains recover the active segment's packed
+  constants, and the C truncating division becomes a per-segment magic
+  multiply whose exactness the fit verifies entry-by-entry before use
+  (measured: 1,448 -> 2,737 fps on the AFGS1 conformance config).  Dense
+  LUTs with no compact PWL form (random fuzz configs) fall back to the
+  **LUT-dot path**: the 256-entry LUT as one byte-packed one-hot MXU
+  contraction per strip row -- one-hot(intensity) (256, W) int8 against
+  the packed LUT's (lo, hi) byte rows (2, 256) int8.
 
 Identical integers to ops/grain_jnp.py come out; tests/test_natural_engine.py
 checks bit-exactness against the fast engine in interpret mode, and bench.py
@@ -96,6 +102,112 @@ _PACK_SHIFT = 9  # scale in bits 0..8, pattern index in bits 9..12
 # chain (chain cost is ~2*nseg VPU passes vs a fixed ~128 word-ops + one tiny
 # dot for the LUT-dot path; crossover measured on v5e, tools/probe_budget.py).
 LUT_DOT_THRESHOLD = 40
+
+# A dense LUT that is exactly piecewise-linear in at most this many segments
+# (AFGS1's scale LUTs are built that way, vfgs_fw.c:648-660) is evaluated
+# with the direct PWL formula instead of the LUT-dot: two packed constant
+# chains + a magic-multiplier truncating division, ~5 VPU ops per segment
+# vs the LUT-dot's 32 per-row M=2 mini-dots per grid step.
+PWL_MAX_SEGS = 40
+_PWL_SHIFTS = range(16, 23)  # magic-division shifts tried per segment;
+                             # exactness is host-verified, an*M stays < 2^31
+
+
+def _pwl_try_span(slut, plut_pi, lo: int, end: int):
+    """Magic constants for one candidate PWL segment [lo, end) of the packed
+    LUT, or None if the segment cannot reproduce it exactly.
+
+    The kernel evaluates, per pixel with intensity x in [lo, end):
+        i  = x - lo
+        n  = dy*i + h                       (h = dx//2, C rounding bias)
+        q  = sign(n) * ((|n| * M) >> sh)    (magic trunc-division by dx)
+        sc = (y0 + q) & 0xFF
+    which mirrors the reference's integer lerp (vfgs_fw.c:648-660) with the
+    division replaced by a per-segment multiplier/shift.  Exactness is
+    VERIFIED here over the segment's whole domain (sh is raised until the
+    magic rounds identically to the true division), so any rounding corner
+    case simply rejects the span instead of shipping a wrong value."""
+    pi = int(plut_pi[lo])
+    if np.any(plut_pi[lo:end] != pi):
+        return None
+    y0 = int(slut[lo])
+    span = end - lo
+    # Denominator: the fitted span for interior segments; for a segment
+    # reaching 255 use its natural width (>=1 so the magic stays finite).
+    dx = max(1, span - 1) if end == 256 else span
+    dy0 = int(slut[end] if end < 256 else slut[255]) - y0
+    h = dx // 2
+    if not (0 <= pi <= 7 and 0 <= h <= 127):
+        return None   # out-of-pack-range constants: let the caller fall back
+    i = np.arange(span, dtype=np.int64)
+    want = slut[lo:end].astype(np.int64)
+    # Interior breakpoints store the next segment's exact start value, so
+    # dy0 is the true slope numerator there; but the TOP endpoint stores
+    # y0 + trunc(dout*din + din//2, din), which for decreasing output is
+    # y1 + 1 (vfgs_fw.c:648-660 with num < 0), so the last segment's
+    # original dout can differ by one from the value difference.
+    for dy in ((dy0, dy0 - 1, dy0 + 1) if end == 256 else (dy0,)):
+        if not -255 <= dy <= 255:
+            continue
+        n = dy * i + h
+        an = np.abs(n)
+        qtrue = np.where(n < 0, -(an // dx), an // dx)
+        if not np.array_equal((y0 + qtrue) & 0xFF, want):
+            continue
+        for sh in _PWL_SHIFTS:
+            M = -(-(1 << sh) // dx)          # ceil(2^sh / dx)
+            if M >= (1 << 21) or np.any(an * M >= (1 << 31)):
+                break                        # larger sh only overflows more
+            if np.array_equal((an * M) >> sh, an // dx):
+                return (lo | (h << 8) | (y0 << 15) | (pi << 23)
+                        | (sh << 26)), (dy + 256) | (M << 10)
+    return None
+
+
+_pwl_fit_cache: dict = {}
+
+
+def fit_pwl(slut, plut, max_segs: int = PWL_MAX_SEGS):
+    """Minimal exact piecewise-linear fit of a component's packed LUT.
+
+    Returns (packA, packB) tuples of per-segment packed constants (segment s
+    covers intensities [lo_s, lo_{s+1})), or None if more than ``max_segs``
+    segments would be needed.  Fields: packA = lo | h<<8 | y0<<15 | pi<<23 |
+    sh<<26, packB = (dy+256) | M<<10.  The kernel recovers the active
+    segment's constants with one compare/select chain pair sharing each
+    predicate (lo is increasing, so the last true ``inten >= lo_s`` select
+    wins).  Segmentation is a shortest-path DP over valid spans (greedy
+    longest-span overshoots breakpoints and fragments the tail: 22 vs 15
+    segments on the AFGS1 conformance luma LUT), with each span's kernel
+    formula verified entry-exact by _pwl_try_span before use."""
+    slut = np.asarray(slut, np.int64) & 0xFF
+    plut_pi = (np.asarray(plut, np.int64) & 0xFF) >> 4
+    key = (slut.tobytes(), plut_pi.tobytes(), max_segs)
+    if key in _pwl_fit_cache:   # the DP costs ~0.5 s/LUT; configs repeat
+        return _pwl_fit_cache[key]
+    INF = 1 << 20
+    best = [INF] * 257
+    best[256] = 0
+    choice = [None] * 256
+    for lo in range(255, -1, -1):
+        for end in range(256, lo, -1):
+            if best[end] + 1 >= best[lo]:
+                continue   # cannot improve on the current choice
+            seg = _pwl_try_span(slut, plut_pi, lo, end)
+            if seg is not None:
+                best[lo] = best[end] + 1
+                choice[lo] = (end, seg)
+    if best[0] > max_segs:
+        _pwl_fit_cache[key] = None
+        return None
+    segs, lo = [], 0
+    while lo < 256:
+        end, seg = choice[lo]
+        segs.append(seg)
+        lo = end
+    out = tuple(zip(*segs))  # (packA tuple, packB tuple)
+    _pwl_fit_cache[key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -128,13 +240,26 @@ def _pack_pattern2(pattern_class: np.ndarray, bh: int, bw: int, n_ov: int,
     return out
 
 
-def natural_tables(regs, *, lut_dot_threshold: int = LUT_DOT_THRESHOLD) -> dict:
+def natural_tables(regs, *, lut_dot_threshold: int = LUT_DOT_THRESHOLD,
+                   pwl_max_segs: int = PWL_MAX_SEGS,
+                   force_lut_path=None) -> dict:
     """Kernel-ready packaging of the register file (cf. fast_tables).
 
-    ``lut_dot_threshold``: per-component segment count above which the
-    kernel evaluates the packed (scale, pattern) LUT with the one-hot MXU
-    contraction instead of the run-length chain (0 forces the LUT-dot path
-    everywhere — used by tests to cross-validate the two)."""
+    Per-component (scale, pattern) LUT evaluation path ("lut_mode"):
+
+    * "chain"  -- run-length compare/add chain; picked when the LUT has at
+      most ``lut_dot_threshold`` run-length segments.
+    * "pwl"    -- direct piecewise-linear formula (two packed constant
+      chains + magic trunc-division); picked for denser LUTs that
+      ``fit_pwl`` reproduces exactly in <= ``pwl_max_segs`` segments
+      (AFGS1's LUTs by construction, vfgs_fw.c:648-660).
+    * "lutdot" -- per-row one-hot MXU contraction; the fallback for dense
+      LUTs with no compact exact PWL form.
+
+    ``lut_dot_threshold=0`` forces the LUT-dot path everywhere (tests use
+    it to cross-validate the paths); ``force_lut_path`` ("chain"/"pwl"/
+    "lutdot", or a 3-tuple of those) overrides the choice per component.
+    """
     csubx, csuby = regs.csubx, regs.csuby
     n_pat_l = (int(np.max(np.asarray(regs.plut[0]))) >> 4) + 1
     n_pat_c = (max(int(np.max(np.asarray(regs.plut[1]))),
@@ -146,13 +271,29 @@ def natural_tables(regs, *, lut_dot_threshold: int = LUT_DOT_THRESHOLD) -> dict:
                             4 // csuby, 4 // csubx, n_pat_c)
     seg = [build_segments(regs.slut[c], regs.plut[c]) for c in range(3)]
     nseg_per = tuple(len(s) for s, _ in seg)
-    lutdot = tuple(n > lut_dot_threshold for n in nseg_per)
-    S = max((n for n, ld in zip(nseg_per, lutdot) if not ld), default=1)
+    if force_lut_path is not None:
+        modes = ((force_lut_path,) * 3 if isinstance(force_lut_path, str)
+                 else tuple(force_lut_path))
+        pwl = tuple(fit_pwl(regs.slut[c], regs.plut[c], max_segs=256)
+                    if modes[c] == "pwl" else None for c in range(3))
+    else:
+        modes, pwl = [], []
+        for c, n in enumerate(nseg_per):
+            fit = None
+            if n > lut_dot_threshold:
+                fit = (fit_pwl(regs.slut[c], regs.plut[c],
+                               max_segs=pwl_max_segs)
+                       if lut_dot_threshold > 0 else None)
+            modes.append("chain" if n <= lut_dot_threshold
+                         else ("pwl" if fit else "lutdot"))
+            pwl.append(fit)
+        modes, pwl = tuple(modes), tuple(pwl)
+    S = max((n for n, m in zip(nseg_per, modes) if m == "chain"), default=1)
     S = -(-S // 8) * 8
     starts = np.zeros((3, S), np.int32)
     deltas = np.zeros((3, S), np.int32)
     for c, (s, d) in enumerate(seg):
-        if lutdot[c]:
+        if modes[c] != "chain":
             continue   # this component never runs the chain
         starts[c, :len(s)] = s
         deltas[c, :len(d)] = d
@@ -169,7 +310,8 @@ def natural_tables(regs, *, lut_dot_threshold: int = LUT_DOT_THRESHOLD) -> dict:
     return dict(
         pat2_luma=pat2_l, pat2_chroma=pat2_c,
         seg_starts=starts, seg_deltas=deltas, nseg_per=nseg_per,
-        lutdot=lutdot, lut_bytes=lut_bytes,
+        lut_mode=modes, pwl=pwl,
+        lutdot=tuple(m == "lutdot" for m in modes), lut_bytes=lut_bytes,
         scale_shift=int(regs.scale_shift),
         y_min=int(regs.y_min), y_max=int(regs.y_max),
         c_min=int(regs.c_min), c_max=int(regs.c_max),
@@ -212,6 +354,26 @@ def _mux(planes, pi):
 
 
 
+def _expand_lane_words(wrow, bw: int, Wp: int):
+    """(1, C) block words -> (1, Wp) lane words, in-kernel.
+
+    Same pull-based butterfly as _expand_words_pallas (see its docstring
+    for the exactness argument), run on the strip's own (1, Wp) row so the
+    lane-word stream can stay at block granularity (C = Wp/bw words) --
+    1/bw of the HBM traffic of streaming expanded words."""
+    C = Wp // bw
+    lb = bw.bit_length() - 1
+    e = jnp.concatenate(
+        [wrow, jnp.zeros((1, Wp - C), jnp.int32)], axis=1) if Wp > C else wrow
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
+    disp = lane - (lane >> lb)
+    dmax = (Wp - 1) - ((Wp - 1) >> lb)
+    for k in reversed(range(dmax.bit_length())):
+        e = jnp.where(((disp >> k) & 1) != 0,
+                      pltpu.roll(e, 1 << k, axis=1), e)
+    return e + (lane & (bw - 1))
+
+
 def _build_onehot(w, K: int, Wp: int):
     """(K, Wp) int8 one-hot of t from the packed lane word ``w`` (1, Wp),
     plus the decoded per-lane sign.
@@ -229,15 +391,20 @@ def _build_onehot(w, K: int, Wp: int):
 
 def _strip_body(r0, x_ref, w, segs_ref, segd_ref, pat_ref, mask_ref,
                 lut_ref, out_ref, carry_ref, *, bh, bw, n_ov, n_pat, nseg,
-                K, bs, scale_shift, imin, imax, Wp, lutdot=False, boot=None):
+                K, bs, scale_shift, imin, imax, Wp, lut_path="chain",
+                pwl=None, expand_words=False, boot=None):
     """Grain one (bh, Wp) strip of one plane; carry persists across the
     sequential grid.  ``w``: the plane's (1, Wp) packed lane word (loaded
     from the lane-word input stream).  ``boot`` (shard_map path) is
     (wup, patup_ref, blend0_ref): the shard's first block row seeds the
     carry from the up-state's lane word instead of a previous grid step.
-    ``lutdot`` selects the one-hot MXU evaluation of the packed LUT
-    (``lut_ref``: its (lo, hi) int8 byte rows) over the run-length chain."""
+    ``lut_path`` selects how the packed (scale, pattern) LUT is evaluated:
+    the run-length chain ("chain"), the direct piecewise-linear formula
+    ("pwl", constants baked from ``pwl``), or the one-hot MXU contraction
+    ("lutdot", ``lut_ref``: the LUT's (lo, hi) int8 byte rows)."""
     rows = bh + n_ov
+    if expand_words:   # lane-word stream is at block granularity
+        w = _expand_lane_words(w, bw, Wp)
     if boot is not None:
         wup, patup_ref, blend0_ref = boot
 
@@ -264,7 +431,7 @@ def _strip_body(r0, x_ref, w, segs_ref, segd_ref, pat_ref, mask_ref,
                                (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
 
-    if lutdot:
+    if lut_path == "lutdot":
         # Packed (scale | pattern<<9) via one-hot LUT contraction: per row,
         # byte-packed one-hot of the intensity against the LUT's byte rows.
         q4io = jax.lax.broadcasted_iota(jnp.int32, (64, Wp), 0)
@@ -279,6 +446,33 @@ def _strip_body(r0, x_ref, w, segs_ref, segd_ref, pat_ref, mask_ref,
                                      preferred_element_type=jnp.int32)
             lrows.append((lh[0:1] & 0xFF) | ((lh[1:2] & 0xFF) << 8))
         acc = jnp.concatenate(lrows, axis=0)
+    elif lut_path == "pwl":
+        # Packed (scale | pattern<<9) via the direct piecewise-linear
+        # formula (fit_pwl docstring): recover the active segment's packed
+        # constants with two select chains sharing one predicate, then
+        # evaluate the reference's integer lerp (vfgs_fw.c:648-660) with
+        # the truncating division done as a per-segment magic multiply
+        # whose exactness fit_pwl verified host-side.
+        pA, pB = pwl
+        accA = jnp.full_like(inten, pA[0])
+        accB = jnp.full_like(inten, pB[0])
+        for s in range(1, len(pA)):
+            m = inten >= (pA[s] & 0xFF)
+            if pA[s] != pA[s - 1]:
+                accA = jnp.where(m, pA[s], accA)
+            if pB[s] != pB[s - 1]:
+                accB = jnp.where(m, pB[s], accB)
+        lo = accA & 0xFF
+        h = (accA >> 8) & 0x7F
+        y0 = (accA >> 15) & 0xFF
+        piw = (accA >> 23) & 7
+        sh = accA >> 26
+        dy = (accB & 0x3FF) - 256
+        mM = accB >> 10
+        n = dy * (inten - lo) + h
+        qa = (jnp.abs(n) * mM) >> sh
+        sc_ = (y0 + jnp.where(n < 0, -qa, qa)) & 0xFF
+        acc = sc_ | (piw << _PACK_SHIFT)
     else:
         # Packed (scale | pattern<<9) via run-length compare/add chain.
         acc = jnp.zeros_like(inten)
@@ -350,14 +544,19 @@ def _fused_pallas(planes, words, segs3, segd3, pat_l, pat_c, *, meta,
     mask_l = jnp.asarray(_deblock_mask(16, 16, Wp))
     mask_c = jnp.asarray(_deblock_mask(bh_c, bw_c, Wc))
 
-    lutdot = meta.get("lutdot", (False, False, False))
-    pcommon = dict(bs=meta["bs"], scale_shift=meta["scale_shift"])
+    lut_mode = meta.get("lut_mode", ("chain",) * 3)
+    pwl = meta.get("pwl", (None,) * 3)
+    expand = meta.get("word_mode", "stream") == "kernel"
+    pcommon = dict(bs=meta["bs"], scale_shift=meta["scale_shift"],
+                   expand_words=expand)
     pl_luma = dict(bh=16, bw=16, n_ov=2, n_pat=n_pat_l, K=K_l, Wp=Wp,
                    nseg=meta["nseg_per"][0], imin=meta["y_min"],
-                   imax=meta["y_max"], lutdot=lutdot[0], **pcommon)
+                   imax=meta["y_max"], lut_path=lut_mode[0], pwl=pwl[0],
+                   **pcommon)
     pl_chroma = [dict(bh=bh_c, bw=bw_c, n_ov=n_ov_c, n_pat=n_pat_c, K=K_c,
                       Wp=Wc, nseg=meta["nseg_per"][c], imin=meta["c_min"],
-                      imax=meta["c_max"], lutdot=lutdot[c], **pcommon)
+                      imax=meta["c_max"], lut_path=lut_mode[c], pwl=pwl[c],
+                      **pcommon)
                  for c in (1, 2)]
     lut6 = jnp.asarray(meta["lut_bytes"])
 
@@ -394,9 +593,12 @@ def _fused_pallas(planes, words, segs3, segd3, pat_l, pat_c, *, meta,
                           memory_space=pltpu.VMEM)
     cstrip = pl.BlockSpec((1, bh_c, Wc), lambda f, r: (f, r, 0),
                           memory_space=pltpu.VMEM)
-    ylane = pl.BlockSpec((1, 1, 1, Wp), lambda f, r: (f, r, 0, 0),
+    # Lane-word streams: full lane width (word_mode "stream") or block
+    # granularity, Wp/bw words per row, expanded in-kernel ("kernel").
+    Lw_y, Lw_u, Lw_v = (int(w.shape[3]) for w in words)
+    ylane = pl.BlockSpec((1, 1, 1, Lw_y), lambda f, r: (f, r, 0, 0),
                          memory_space=pltpu.VMEM)
-    clane = pl.BlockSpec((1, 1, 1, Wc), lambda f, r: (f, r, 0, 0),
+    clane = pl.BlockSpec((1, 1, 1, Lw_u), lambda f, r: (f, r, 0, 0),
                          memory_space=pltpu.VMEM)
     const2 = lambda a: pl.BlockSpec(a.shape, lambda f, r: (0, 0),
                                     memory_space=pltpu.VMEM)
@@ -450,19 +652,12 @@ def _up_rows(pat2, bh, n_ov, n_pat):
 # XLA wrapper: state lattice + packed per-lane kernel words
 # ---------------------------------------------------------------------------
 
-def _lane_words(lat, c, csubx, csuby):
-    """Packed per-lane kernel word for component c, (F, R, 1, C*bw) int32:
-    bits 0..9 = t (one-hot row), bit 10 = sign<0.
-
-    Everything is computed at BLOCK granularity (F, R, C) -- tiny arrays --
-    and expanded to lanes with one broadcast-add + reshape.  Round-4
-    alternatives, all measured neutral-to-worse on hardware (chained 4K
-    8-frame step, baseline 3.40 ms): int16 words (3.50 ms), expanding via
-    a batched int8 matmul in XLA (3.46 ms), and expanding inside the
-    kernel -- per plane (3.86), as one merged dot (4.03), or
-    software-pipelined one strip ahead into VMEM scratch (4.18) -- the
-    skinny (M=6) expansion dot streams its (Cp, W) one-hot operand through
-    the MXU for only ~12 M MACs of useful work, stalling the pipeline."""
+def _block_words(lat, c, csubx, csuby):
+    """Packed per-BLOCK kernel word for component c, (F, R, C) int32:
+    bits 0..9 = base t of the block's first lane (one-hot row), bit 10 =
+    sign<0.  Lane x's word is block_word[x >> log2(bw)] + (x & (bw-1));
+    the expansion to lanes is done by ``_expand_words_pallas`` (TPU path)
+    or ``_lane_words_xla`` (reference path / tiny arrays)."""
     subx = csubx if c else 1
     suby = csuby if c else 1
     bw = 16 // subx
@@ -470,19 +665,127 @@ def _lane_words(lat, c, csubx, csuby):
     KC = 16 * xmul
     s, ox, oy = block_offsets(lat, c, csubx, csuby)
     baset = ((oy // ymul) * KC + ox).astype(jnp.int32)     # (F, R, C)
-    wblk = baset | (jnp.where(s < 0, 1, 0) << 10)
+    return baset | (jnp.where(s < 0, 1, 0) << 10), bw
+
+
+def _lane_words_xla(wblk, bw: int):
+    """Block->lane expansion with an XLA broadcast-add + reshape.
+
+    This was the round-4 transport: simple, but the (..., C, bw)
+    intermediate lives at bw-lane occupancy, so XLA's reshape to (C*bw,)
+    lanes is a tiled relayout costing ~0.8 ms/step at 4K -- the step's
+    single largest non-compute cost and config-independent (DESIGN.md
+    3.1).  Kept for tiny arrays (the shard-map ``words_up`` boot row) and
+    as the cross-check reference for the Pallas expansion.  Round-4
+    alternatives, all measured neutral-to-worse on hardware (chained 4K
+    8-frame step, baseline 3.40 ms): int16 words (3.50 ms), expanding via
+    a batched int8 matmul in XLA (3.46 ms), and expanding inside the
+    MAIN kernel -- per plane (3.86), as one merged dot (4.03), or
+    software-pipelined one strip ahead into VMEM scratch (4.18) -- the
+    skinny (M=6) expansion dot streams its (Cp, W) one-hot operand through
+    the MXU for only ~12 M MACs of useful work, stalling the pipeline.
+    The round-5 fix (``_expand_words_pallas``) is none of those: a
+    separate full-occupancy butterfly kernel."""
     i = np.arange(bw, dtype=np.int32)
     F, R, C = wblk.shape
     return (wblk[..., None] + i).reshape(F, R, 1, C * bw)
 
 
+_EXPAND_CHUNK = 64  # block rows per grid step of the expansion kernel
+
+
+def _expand_words_pallas(wblks, bws, *, interpret=False):
+    """Block->lane word expansion as ONE Pallas butterfly kernel.
+
+    ``wblks``: per-plane (F, R, C_p) int32 block words; returns per-plane
+    (F, R, 1, C_p*bw_p) int32 lane words, bit-identical to
+    ``_lane_words_xla`` but ~5x cheaper: lane x needs source block
+    s(x) = x >> log2(bw), i.e. a pull displacement D(x) = x - s(x), and a
+    pull-based butterfly realizes it exactly -- stage k replaces e with
+    roll(e, 2^k) on lanes whose D has bit k set, processed HIGH bit to
+    LOW.  Correctness invariant (needs high->low order): after the stages
+    above k, every lane z holds v[z - H(z)] with H(z) = the processed
+    high bits of D(z); when lane x pulls from y = x - 2^k, D's
+    monotone-Lipschitz-1 shape gives D(x) - 2^k <= D(y) <= D(x) while
+    bit k of D(x) is set, so y's high bits H(y) equal H(x) and the pull
+    lands on v[x - H(x) - 2^k] exactly.  No intermediate ever reads below
+    lane 0 (partial displacements are bounded by D(x) <= x).
+    Unlike the XLA broadcast-reshape (a bw-lane-occupancy relayout) or the
+    measured-and-rejected expansion matmuls (_lane_words_xla docstring),
+    the butterfly runs ~12 roll+select passes over full (CHUNK, Wp)
+    tiles -- a handful of VPU passes at 8/8 sublane occupancy."""
+    F, R = wblks[0].shape[:2]
+    FR = F * R
+    FRp = -(-FR // _EXPAND_CHUNK) * _EXPAND_CHUNK
+    ins, shapes = [], []
+    for w, bw in zip(wblks, bws):
+        C = int(w.shape[2])
+        flat = w.reshape(FR, C)
+        if FRp != FR:
+            flat = jnp.pad(flat, ((0, FRp - FR), (0, 0)))
+        ins.append(flat)
+        shapes.append((C, C * bw))
+
+    def kernel(*refs):
+        in_refs, out_refs = refs[:3], refs[3:]
+        for ref, oref, (C, Wp), bw in zip(in_refs, out_refs, shapes, bws):
+            lb = bw.bit_length() - 1
+            v = ref[...]
+            e = jnp.concatenate(
+                [v, jnp.zeros((v.shape[0], Wp - C), jnp.int32)], axis=1) \
+                if Wp > C else v
+            lane = jax.lax.broadcasted_iota(jnp.int32, v.shape[:1] + (Wp,), 1)
+            disp = lane - (lane >> lb)
+            dmax = (Wp - 1) - ((Wp - 1) >> lb)
+            for k in reversed(range(dmax.bit_length())):
+                e = jnp.where(((disp >> k) & 1) != 0,
+                              pltpu.roll(e, 1 << k, axis=1), e)
+            oref[...] = e + (lane & (bw - 1))
+
+    grid = (FRp // _EXPAND_CHUNK,)
+    in_specs = [pl.BlockSpec((_EXPAND_CHUNK, C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM) for C, _ in shapes]
+    out_specs = [pl.BlockSpec((_EXPAND_CHUNK, Wp), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM) for _, Wp in shapes]
+    outs = pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((FRp, Wp), jnp.int32)
+                   for _, Wp in shapes],
+        interpret=interpret,
+    )(*ins)
+    return [o[:FR].reshape(F, R, 1, o.shape[1]) for o in outs]
+
+
+# Default lane-word transport (A/B-tested on hardware, tools/probe_r5.py):
+#   "xla"    -- expanded lane words via XLA broadcast-reshape
+#   "pallas" -- expanded lane words via the butterfly prep kernel
+#   "kernel" -- block-granular stream, butterfly expansion in the main kernel
+WORD_EXPAND = "xla"
+
+
+def _lane_words3(lat, csubx, csuby, *, interpret=False, expand="xla"):
+    """All three planes' lane-word streams from the state lattice."""
+    blk = [_block_words(lat, c, csubx, csuby) for c in range(3)]
+    if expand == "kernel":
+        return [b.reshape(b.shape[0], b.shape[1], 1, b.shape[2])
+                for b, _ in blk]
+    if expand == "pallas":
+        return _expand_words_pallas([b for b, _ in blk], [bw for _, bw in blk],
+                                    interpret=interpret)
+    return [_lane_words_xla(b, bw) for b, bw in blk]
+
+
 def _call_meta(tables: dict, bs: int) -> dict:
     segs = jnp.asarray(tables["seg_starts"])
     nseg_per = tables.get("nseg_per") or (int(segs.shape[1]),) * 3
+    lut_mode = tables.get("lut_mode")
+    if lut_mode is None:   # legacy tables dicts: only chain/lutdot existed
+        lut_mode = tuple("lutdot" if ld else "chain" for ld in
+                         tables.get("lutdot", (False, False, False)))
     return dict(
         bs=bs, scale_shift=tables["scale_shift"],
         nseg_per=tuple(int(n) for n in nseg_per),
-        lutdot=tuple(tables.get("lutdot", (False, False, False))),
+        lut_mode=tuple(lut_mode), pwl=tuple(tables.get("pwl", (None,) * 3)),
         lut_bytes=tables["lut_bytes"],
         y_min=tables["y_min"], y_max=tables["y_max"],
         c_min=tables["c_min"], c_max=tables["c_max"],
@@ -491,7 +794,8 @@ def _call_meta(tables: dict, bs: int) -> dict:
 
 def add_grain_batch_natural(y, u, v, bases, bases_up, tables: dict, *,
                             height: int, width: int, bs: int, csubx: int,
-                            csuby: int, interpret: bool = False):
+                            csuby: int, interpret: bool = False,
+                            word_expand: str | None = None):
     """Batched whole-frame grain, natural-layout engine.
 
     Same contract as ops.grain_pallas.add_grain_batch_pallas.  ``bases_up``
@@ -499,31 +803,41 @@ def add_grain_batch_natural(y, u, v, bases, bases_up, tables: dict, *,
     frame never blends vertically (ops/grain_fast.py rmask semantics), and
     every other row's "up" offsets equal the previous row's own offsets,
     which this engine carries in VMEM across grid steps.
+
+    ``word_expand``: lane-word transport -- "xla" (broadcast-reshape),
+    "pallas" (butterfly prep kernel), "kernel" (block-granular stream with
+    in-main-kernel butterfly), or None for the measured default
+    (WORD_EXPAND); tests cross-check all paths bit-exactly.
     """
     del bases_up
+    word_expand = word_expand or WORD_EXPAND
     lat = jax.vmap(
         lambda b: lfsr.state_lattice_jax(b, y.shape[1] // 16,
                                          y.shape[2] // 16))(bases)
     segs = jnp.asarray(tables["seg_starts"])
     segd = jnp.asarray(tables["seg_deltas"])
-    words = [_lane_words(lat, c, csubx, csuby) for c in range(3)]
+    words = _lane_words3(lat, csubx, csuby, interpret=interpret,
+                         expand=word_expand)
+    meta = _call_meta(tables, bs)
+    meta["word_mode"] = "kernel" if word_expand == "kernel" else "stream"
     return tuple(_fused_pallas(
         (y, u, v), words, [segs[c] for c in range(3)],
         [segd[c] for c in range(3)], jnp.asarray(tables["pat2_luma"]),
-        jnp.asarray(tables["pat2_chroma"]), meta=_call_meta(tables, bs),
+        jnp.asarray(tables["pat2_chroma"]), meta=meta,
         interpret=interpret))
 
 
 def make_batched_step(tables: dict, *, height: int, width: int, bs: int,
                       csubx: int, csuby: int, interpret: bool = False,
-                      donate: bool = False):
+                      donate: bool = False, word_expand: str | None = None):
     """jit-compiled batched step closure over static config tables.
 
     ``donate`` donates the three input planes so XLA writes outputs in
     place (callers must pass fresh arrays per call, as run_file does)."""
     fn = functools.partial(
         add_grain_batch_natural, tables=tables, height=height, width=width,
-        bs=bs, csubx=csubx, csuby=csuby, interpret=interpret)
+        bs=bs, csubx=csubx, csuby=csuby, interpret=interpret,
+        word_expand=word_expand)
     return jax.jit(fn, donate_argnums=(0, 1, 2) if donate else ())
 
 
@@ -543,8 +857,11 @@ def add_grain_shard_natural(y, u, v, states, states_up, ov_mask,
     segs = jnp.asarray(tables["seg_starts"])
     segd = jnp.asarray(tables["seg_deltas"])
     blend0 = ov_mask[0].astype(jnp.int32).reshape(1)
-    words = [_lane_words(states, c, csubx, csuby) for c in range(3)]
-    words_up = [_lane_words(states_up[:, :1], c, csubx, csuby)
+    words = _lane_words3(states, csubx, csuby, interpret=interpret)
+    # The boot row is one block row per frame -- too small for the
+    # butterfly kernel to pay off; the XLA expansion is fine there.
+    words_up = [_lane_words_xla(*_block_words(states_up[:, :1], c,
+                                              csubx, csuby))
                 for c in range(3)]
     return tuple(_fused_pallas(
         (y, u, v), words, [segs[c] for c in range(3)],
