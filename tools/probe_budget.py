@@ -10,7 +10,8 @@ Stages:
   prep      XLA-side state lattice + packed lane words (no pallas call)
   onehot    byte-packed one-hot build, per plane
   dot       the MXU window contraction, per plane
-  lut       the intensity->(scale,pattern) run-length compare/add chain
+  lut       the intensity->(scale,pattern) evaluation — run-length chain,
+            direct PWL formula, or LUT-dot, whichever the config selects
   mux       pattern candidate select tree + sign
   blend     vertical overlap rows + carry maintenance
   deblock   horizontal masked 3-tap
@@ -20,13 +21,17 @@ Also measures a "reorder" variant (dot issued before the LUT chain so the
 VPU chain can overlap the MXU) and batch=16, to answer whether instruction
 order or batching buys anything.
 
-Run on TPU from the repo root: python tools/probe_budget.py
+Run on TPU from the repo root:
+  python tools/probe_budget.py [default sei_ar afgs1]
 """
 
 from __future__ import annotations
 
-import functools
+import os
 import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_vfg")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 import jax
@@ -34,19 +39,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _chain_fps, H, W, FRAMES_BATCH  # noqa: E402
+from bench import _chain_fps, _regs_from_cfg, H, W, FRAMES_BATCH  # noqa: E402
 from versatilefilmgrain_tpu.ops import lfsr  # noqa: E402
 from versatilefilmgrain_tpu.ops.grain_natural import (  # noqa: E402
-    _PACK_SHIFT, _build_onehot, _deblock_mask, _lane_words, _mux,
+    _PACK_SHIFT, _build_onehot, _deblock_mask, _lane_words3, _mux,
     natural_tables)
 from __graft_entry__ import _default_regs, _frame_bases  # noqa: E402
 
+CFGDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))), "tests", "golden", "cfg")
+
 
 def _strip_body_abl(r0, x_ref, w_ref, segs_ref, segd_ref, pat_ref, mask_ref,
-                    out_ref, carry_ref, *, bh, bw, n_ov, n_pat, nseg, K, bs,
-                    scale_shift, imin, imax, Wp, skip, reorder):
+                    lut_ref, out_ref, carry_ref, *, bh, bw, n_ov, n_pat, nseg,
+                    K, bs, scale_shift, imin, imax, Wp, lut_path, pwl, skip,
+                    reorder):
     rows = bh + n_ov
     x = x_ref[0].astype(jnp.int32)
     inten = (x >> bs) & 0xFF
@@ -54,9 +63,44 @@ def _strip_body_abl(r0, x_ref, w_ref, segs_ref, segd_ref, pat_ref, mask_ref,
     def do_lut():
         if "lut" in skip:
             return inten & 0xFF, inten & max(n_pat - 1, 0)
-        acc = jnp.zeros_like(inten)
-        for k in range(nseg):
-            acc = acc + jnp.where(inten >= segs_ref[k], segd_ref[k], 0)
+        if lut_path == "lutdot":
+            q4io = jax.lax.broadcasted_iota(jnp.int32, (64, Wp), 0)
+            lrows = []
+            for yy in range(bh):
+                iv = inten[yy:yy + 1]
+                w64 = jnp.where(q4io == (iv >> 2),
+                                jnp.int32(1) << ((iv & 3) << 3), 0)
+                oh = pltpu.bitcast(w64, jnp.int8)
+                lh = jax.lax.dot_general(lut_ref[:], oh,
+                                         (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.int32)
+                lrows.append((lh[0:1] & 0xFF) | ((lh[1:2] & 0xFF) << 8))
+            acc = jnp.concatenate(lrows, axis=0)
+        elif lut_path == "pwl":
+            pA, pB = pwl
+            accA = jnp.full_like(inten, pA[0])
+            accB = jnp.full_like(inten, pB[0])
+            for s in range(1, len(pA)):
+                m = inten >= (pA[s] & 0xFF)
+                if pA[s] != pA[s - 1]:
+                    accA = jnp.where(m, pA[s], accA)
+                if pB[s] != pB[s - 1]:
+                    accB = jnp.where(m, pB[s], accB)
+            lo = accA & 0xFF
+            h = (accA >> 8) & 0x7F
+            y0 = (accA >> 15) & 0xFF
+            piw = (accA >> 23) & 7
+            sh = accA >> 26
+            dy = (accB & 0x3FF) - 256
+            mM = accB >> 10
+            n = dy * (inten - lo) + h
+            qa = (jnp.abs(n) * mM) >> sh
+            sc_ = (y0 + jnp.where(n < 0, -qa, qa)) & 0xFF
+            acc = sc_ | (piw << _PACK_SHIFT)
+        else:
+            acc = jnp.zeros_like(inten)
+            for k in range(nseg):
+                acc = acc + jnp.where(inten >= segs_ref[k], segd_ref[k], 0)
         return acc & ((1 << _PACK_SHIFT) - 1), acc >> _PACK_SHIFT
 
     def do_dot():
@@ -117,7 +161,7 @@ def _strip_body_abl(r0, x_ref, w_ref, segs_ref, segd_ref, pat_ref, mask_ref,
         out_ref[0] = res.astype(out_ref.dtype)
 
 
-def _fused_abl(planes, words, segs3, segd3, pat_l, pat_c, *, meta, skip,
+def _fused_abl(planes, words, segs3, segd3, pat_l, pat_c, lut6, *, meta, skip,
                reorder):
     y, u, v = planes
     F, Hp, Wp = y.shape
@@ -130,28 +174,34 @@ def _fused_abl(planes, words, segs3, segd3, pat_l, pat_c, *, meta, skip,
     mask_l = jnp.asarray(_deblock_mask(16, 16, Wp))
     mask_c = jnp.asarray(_deblock_mask(bh_c, bw_c, Wc))
 
+    lut_mode = meta.get("lut_mode", ("chain",) * 3)
+    pwl = meta.get("pwl", (None,) * 3)
     pcommon = dict(bs=meta["bs"], scale_shift=meta["scale_shift"],
                    skip=skip, reorder=reorder)
     pl_luma = dict(bh=16, bw=16, n_ov=2, n_pat=n_pat_l, K=K_l, Wp=Wp,
                    nseg=meta["nseg_per"][0], imin=meta["y_min"],
-                   imax=meta["y_max"], **pcommon)
+                   imax=meta["y_max"], lut_path=lut_mode[0], pwl=pwl[0],
+                   **pcommon)
     pl_chroma = [dict(bh=bh_c, bw=bw_c, n_ov=n_ov_c, n_pat=n_pat_c, K=K_c,
                       Wp=Wc, nseg=meta["nseg_per"][c], imin=meta["c_min"],
-                      imax=meta["c_max"], **pcommon) for c in (1, 2)]
+                      imax=meta["c_max"], lut_path=lut_mode[c], pwl=pwl[c],
+                      **pcommon) for c in (1, 2)]
 
     def kernel(*refs):
         (y_ref, u_ref, v_ref, wy_ref, wu_ref, wv_ref,
          sy_ref, dy_ref, su_ref, du_ref, sv_ref, dv_ref,
-         patl_ref, patc_ref, ml_ref, mc_ref,
+         patl_ref, patc_ref, ml_ref, mc_ref, lut6_ref,
          oy_ref, ou_ref, ov_ref, cy_ref, cu_ref, cv_ref) = refs
         r0 = pl.program_id(1)
         _strip_body_abl(r0, y_ref, wy_ref, sy_ref, dy_ref, patl_ref, ml_ref,
-                        oy_ref, cy_ref, **pl_luma)
+                        lut6_ref[0:2], oy_ref, cy_ref, **pl_luma)
         if "chroma" not in skip:
             _strip_body_abl(r0, u_ref, wu_ref, su_ref, du_ref, patc_ref,
-                            mc_ref, ou_ref, cu_ref, **pl_chroma[0])
+                            mc_ref, lut6_ref[2:4], ou_ref, cu_ref,
+                            **pl_chroma[0])
             _strip_body_abl(r0, v_ref, wv_ref, sv_ref, dv_ref, patc_ref,
-                            mc_ref, ov_ref, cv_ref, **pl_chroma[1])
+                            mc_ref, lut6_ref[4:6], ov_ref, cv_ref,
+                            **pl_chroma[1])
         else:
             ou_ref[0] = u_ref[0]
             ov_ref[0] = v_ref[0]
@@ -173,9 +223,10 @@ def _fused_abl(planes, words, segs3, segd3, pat_l, pat_c, *, meta, skip,
     in_specs = [ystrip, cstrip, cstrip, ylane, clane, clane,
                 smem1(segs3[0]), smem1(segd3[0]), smem1(segs3[1]),
                 smem1(segd3[1]), smem1(segs3[2]), smem1(segd3[2]),
-                const2(pat_l), const2(pat_c), const2(mask_l), const2(mask_c)]
+                const2(pat_l), const2(pat_c), const2(mask_l), const2(mask_c),
+                const2(lut6)]
     args = [y, u, v, wy, wu, wv, segs3[0], segd3[0], segs3[1], segd3[1],
-            segs3[2], segd3[2], pat_l, pat_c, mask_l, mask_c]
+            segs3[2], segd3[2], pat_l, pat_c, mask_l, mask_c, lut6]
     return pl.pallas_call(
         kernel,
         grid=(F, R),
@@ -198,6 +249,7 @@ def make_step(tables, *, skip=frozenset(), reorder=False, prep_only=False,
     segd = jnp.asarray(tables["seg_deltas"])
     pat_l = jnp.asarray(tables["pat2_luma"])
     pat_c = jnp.asarray(tables["pat2_chroma"])
+    lut6 = jnp.asarray(tables["lut_bytes"])
 
     @jax.jit
     def step(y, u, v, bases, bases_up):
@@ -207,37 +259,36 @@ def make_step(tables, *, skip=frozenset(), reorder=False, prep_only=False,
         if lattice_only:
             s = lat[:, :1, :1].astype(jnp.uint16)
             return y ^ s, u ^ s, v ^ s
-        words = [_lane_words(lat, c, 2, 2) for c in range(3)]
+        words = _lane_words3(lat, 2, 2)
         if prep_only:
             return (y ^ words[0][:, :1, 0, :1].astype(jnp.uint16),
                     u ^ words[1][:, :1, 0, :1].astype(jnp.uint16),
                     v ^ words[2][:, :1, 0, :1].astype(jnp.uint16))
         return _fused_abl((y, u, v), words, [segs[c] for c in range(3)],
-                          [segd[c] for c in range(3)], pat_l, pat_c,
+                          [segd[c] for c in range(3)], pat_l, pat_c, lut6,
                           meta=meta, skip=skip, reorder=reorder)
 
     return step
 
 
-def main():
-    regs = _default_regs()
+def run_config(kind: str, state0, F):
+    if kind == "default":
+        regs = _default_regs()
+    else:
+        fname = {"sei_ar": "fgs_sei_ar_test1.cfg",
+                 "afgs1": "fgs_afgs1_test1.cfg"}[kind]
+        regs = _regs_from_cfg(os.path.join(CFGDIR, fname))
     tables = natural_tables(regs)
     R, C = H // 16, W // 16
-    F = FRAMES_BATCH
     bases, bases_up = _frame_bases(regs, F, R, C)
-    rng = np.random.default_rng(0)
-    state0 = (
-        jnp.asarray(rng.integers(0, 1024, (F, R * 16, C * 16),
-                                 dtype=np.uint16)),
-        jnp.asarray(rng.integers(0, 1024, (F, R * 8, C * 8),
-                                 dtype=np.uint16)),
-        jnp.asarray(rng.integers(0, 1024, (F, R * 8, C * 8),
-                                 dtype=np.uint16)))
     cargs = (jnp.asarray(bases), jnp.asarray(bases_up))
 
     def ms(fps):
         return 1e3 * F / fps
 
+    print(f"\n=== config {kind}: n_pat_l="
+          f"{tables['pat2_luma'].shape[0] // 18}, "
+          f"lut_mode={tables['lut_mode']} ===", flush=True)
     results = {}
     variants = [
         ("full", dict()),
@@ -261,7 +312,7 @@ def main():
               flush=True)
 
     full = ms(results["full"])
-    print("\nbudget (delta vs full, ms/step of 8 frames):")
+    print(f"\nbudget [{kind}] (delta vs full, ms/step of {F} frames):")
     for name, fps in results.items():
         if name == "full":
             continue
@@ -271,7 +322,26 @@ def main():
     from versatilefilmgrain_tpu.ops.grain_natural import make_batched_step
     prod = make_batched_step(tables, height=H, width=W, bs=2, csubx=2,
                              csuby=2)
-    print(f"\nproduction engine: {_chain_fps(prod, state0, cargs):.1f} fps")
+    print(f"production engine [{kind}]: "
+          f"{_chain_fps(prod, state0, cargs):.1f} fps", flush=True)
+    return results
+
+
+def main():
+    kinds = [a for a in sys.argv[1:] if not a.startswith("--")] \
+        or ["default", "sei_ar", "afgs1"]
+    R, C = H // 16, W // 16
+    F = FRAMES_BATCH
+    rng = np.random.default_rng(0)
+    state0 = (
+        jnp.asarray(rng.integers(0, 1024, (F, R * 16, C * 16),
+                                 dtype=np.uint16)),
+        jnp.asarray(rng.integers(0, 1024, (F, R * 8, C * 8),
+                                 dtype=np.uint16)),
+        jnp.asarray(rng.integers(0, 1024, (F, R * 8, C * 8),
+                                 dtype=np.uint16)))
+    for kind in kinds:
+        run_config(kind, state0, F)
 
 
 if __name__ == "__main__":
