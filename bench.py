@@ -206,12 +206,21 @@ def _natural_macs_per_frame(nt: dict, width: int, height: int,
     """Int8 MXU MACs/frame of the natural engine's MXU work: per block
     row, each plane contracts (n_pat*(bh+n_ov), 12*KC) against its
     (12*KC, W) one-hot, and a component on the LUT-dot path adds one
-    (2, 256) x (256, W) contraction per pixel row."""
+    (2, 256) x (256, W) contraction per pixel row.  Planes with an
+    identically-zero scale LUT run no MXU work at all (the kernel's
+    zero-scale skip reduces them to clip(x))."""
     R = height // 16
-    macs = nt["pat2_luma"].shape[0] * nt["pat2_luma"].shape[1] * width * R
-    macs += 2 * (nt["pat2_chroma"].shape[0] * nt["pat2_chroma"].shape[1]
-                 * (width // csubx) * R)
+    zs = nt.get("zero_scale", (False,) * 3)
+    macs = 0
+    if not zs[0]:
+        macs += (nt["pat2_luma"].shape[0] * nt["pat2_luma"].shape[1]
+                 * width * R)
+    macs += sum(1 for z in zs[1:] if not z) * (
+        nt["pat2_chroma"].shape[0] * nt["pat2_chroma"].shape[1]
+        * (width // csubx) * R)
     for c, mode in enumerate(nt.get("lut_mode", ("chain",) * 3)):
+        if zs[c]:
+            continue
         if mode == "lutdot":
             wc = width // (csubx if c else 1)
             hc = height // (csuby if c else 1)

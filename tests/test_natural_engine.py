@@ -148,6 +148,46 @@ def _random_sei(rng):
     return sei
 
 
+@pytest.mark.parametrize("kind", ["sei_ff", "sei_ar"])
+@pytest.mark.parametrize("mode", ["chunk", "pallas", "kernel"])
+def test_word_transport_modes_match(kind, mode):
+    """Every lane-word transport produces identical pixels to the default
+    "xla" broadcast-reshape: "chunk" (block-granular stream, butterfly
+    into VMEM scratch every _WCHUNK rows -- H=144 gives R=9, exercising
+    the non-multiple-of-_WCHUNK tail), "pallas" (prep-kernel butterfly),
+    and "kernel" (per-strip in-kernel butterfly).  sei_ar additionally
+    runs the zero-scale chroma skip through every transport."""
+    H, W = 144, 256
+    R, C = H // 16, W // 16
+    regs = _regs_for(kind, 10, (2, 2))
+    rng = np.random.default_rng(23)
+    F = 2
+    planes = (jnp.asarray(rng.integers(0, 1024, (F, H, W), np.uint16)),
+              jnp.asarray(rng.integers(0, 1024, (F, H // 2, W // 2),
+                                       np.uint16)),
+              jnp.asarray(rng.integers(0, 1024, (F, H // 2, W // 2),
+                                       np.uint16)))
+    bases, bases_up = [], []
+    for f in range(F):
+        e0 = lfsr.frame_base_exponent(f, R, C)
+        bases.append(int(lfsr.advance(np.uint32(regs.seed_state), e0)))
+        bases_up.append(int(lfsr.advance(np.uint32(regs.seed_state), e0 - C))
+                        if e0 else bases[-1])
+    cargs = (jnp.asarray(np.array(bases, np.uint32)),
+             jnp.asarray(np.array(bases_up, np.uint32)))
+    nt = natural_tables(regs)
+    if kind == "sei_ar":
+        assert nt["zero_scale"] == (False, True, True)
+    kw = dict(height=H, width=W, bs=2, csubx=2, csuby=2, interpret=True)
+    ref = add_grain_batch_natural(*planes, *cargs, nt, word_expand="xla",
+                                  **kw)
+    out = add_grain_batch_natural(*planes, *cargs, nt, word_expand=mode,
+                                  **kw)
+    for p, (a, b) in enumerate(zip(ref, out)):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), \
+            f"{kind} word_expand={mode} plane {p}"
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_natural_matches_fast_random_cfg(seed):
     """Differential fuzz: random SEI configs (random interval counts, pattern

@@ -75,6 +75,16 @@ that assembles pattern windows:
   contraction per strip row -- one-hot(intensity) (256, W) int8 against
   the packed LUT's (lo, hi) byte rows (2, 256) int8.
 
+* **Zero-scale plane skip.**  A component whose scale LUT is identically
+  zero gets grain exactly 0 (the C rounding bias vanishes under the
+  scale shift), so its whole plane is clip(x): the kernel skips that
+  plane's one-hot/dot/LUT/epilogue statically and the prep skips its
+  lane words.  This is the common luma-only-grain case
+  (comp_model_present = [1,0,0] leaves both chroma sLUTs zeroed in the
+  register file); the reference still runs its full per-pixel loop and
+  clips (vfgs_hw.c:266-276 with sLUT == 0).  Measured: SEI-AR 4K
+  5,465 -> ~6,900 fps.
+
 Identical integers to ops/grain_jnp.py come out; tests/test_natural_engine.py
 checks bit-exactness against the fast engine in interpret mode, and bench.py
 measures the real Mosaic path on TPU head-to-head with the other engines.
@@ -96,6 +106,10 @@ from .offsets import block_offsets
 from .grain_fast import build_segments
 
 _PACK_SHIFT = 9  # scale in bits 0..8, pattern index in bits 9..12
+
+# word_mode "chunk": block rows of lane words butterfly-expanded into VMEM
+# scratch per this many grid steps (one full-sublane-occupancy pass).
+_WCHUNK = 8
 
 # Above this run-length segment count, a component's (scale, pattern) LUT is
 # evaluated as a per-row one-hot MXU contraction instead of the compare/add
@@ -307,10 +321,21 @@ def natural_tables(regs, *, lut_dot_threshold: int = LUT_DOT_THRESHOLD,
         lut_bytes[2 * c] = (packed & 0xFF).astype(np.uint8).view(np.int8)
         lut_bytes[2 * c + 1] = ((packed >> 8) & 0xFF).astype(
             np.uint8).view(np.int8)
+    # A component whose scale LUT is identically zero contributes grain
+    # g = round(0 * P) = 0 exactly (scale_shift >= 1 always holds: the
+    # kernel's rounding bias is 1 << (scale_shift - 1)), so its whole plane
+    # reduces to clip(x) -- the reference still runs the full per-pixel
+    # loop and clips (vfgs_hw.c:266-276 with sLUT == 0); we skip the
+    # one-hot build, window dot, and epilogue statically.  This is the
+    # common "comp_model_present = 0" case: luma-only SEI grain leaves
+    # both chroma sLUTs zero (models/fw.py SEI init writes only present
+    # components into the persistent register file).
+    zero_scale = tuple(bool(np.all(np.asarray(regs.slut[c]) == 0))
+                       for c in range(3))
     return dict(
         pat2_luma=pat2_l, pat2_chroma=pat2_c,
         seg_starts=starts, seg_deltas=deltas, nseg_per=nseg_per,
-        lut_mode=modes, pwl=pwl,
+        lut_mode=modes, pwl=pwl, zero_scale=zero_scale,
         lutdot=tuple(m == "lutdot" for m in modes), lut_bytes=lut_bytes,
         scale_shift=int(regs.scale_shift),
         y_min=int(regs.y_min), y_max=int(regs.y_max),
@@ -354,18 +379,23 @@ def _mux(planes, pi):
 
 
 
-def _expand_lane_words(wrow, bw: int, Wp: int):
-    """(1, C) block words -> (1, Wp) lane words, in-kernel.
+def _expand_lane_words(wrows, bw: int, Wp: int):
+    """(n, C) block words -> (n, Wp) lane words, in-kernel.
 
     Same pull-based butterfly as _expand_words_pallas (see its docstring
-    for the exactness argument), run on the strip's own (1, Wp) row so the
+    for the exactness argument), run on the strip's own rows so the
     lane-word stream can stay at block granularity (C = Wp/bw words) --
-    1/bw of the HBM traffic of streaming expanded words."""
+    1/bw of the HBM traffic of streaming expanded words.  Cost is ~12
+    roll+select lane passes over the (n, Wp) tile, so callers should
+    batch n >= 8 rows per expansion to run at full sublane occupancy
+    (the n = 1 per-strip form was measured 2.5 ms/step slower at 4K)."""
+    n = wrows.shape[0]
     C = Wp // bw
     lb = bw.bit_length() - 1
     e = jnp.concatenate(
-        [wrow, jnp.zeros((1, Wp - C), jnp.int32)], axis=1) if Wp > C else wrow
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
+        [wrows, jnp.zeros((n, Wp - C), jnp.int32)], axis=1) \
+        if Wp > C else wrows
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, Wp), 1)
     disp = lane - (lane >> lb)
     dmax = (Wp - 1) - ((Wp - 1) >> lb)
     for k in reversed(range(dmax.bit_length())):
@@ -392,7 +422,7 @@ def _build_onehot(w, K: int, Wp: int):
 def _strip_body(r0, x_ref, w, segs_ref, segd_ref, pat_ref, mask_ref,
                 lut_ref, out_ref, carry_ref, *, bh, bw, n_ov, n_pat, nseg,
                 K, bs, scale_shift, imin, imax, Wp, lut_path="chain",
-                pwl=None, expand_words=False, boot=None):
+                pwl=None, expand_words=False, boot=None, zero_scale=False):
     """Grain one (bh, Wp) strip of one plane; carry persists across the
     sequential grid.  ``w``: the plane's (1, Wp) packed lane word (loaded
     from the lane-word input stream).  ``boot`` (shard_map path) is
@@ -402,6 +432,14 @@ def _strip_body(r0, x_ref, w, segs_ref, segd_ref, pat_ref, mask_ref,
     the run-length chain ("chain"), the direct piecewise-linear formula
     ("pwl", constants baked from ``pwl``), or the one-hot MXU contraction
     ("lutdot", ``lut_ref``: the LUT's (lo, hi) int8 byte rows)."""
+    if zero_scale:
+        # Identically-zero scale LUT: grain is exactly 0, only the final
+        # clip applies (natural_tables docstring).  The strip's other
+        # inputs are wired but never read; Mosaic DCEs the dead loads.
+        x = x_ref[0].astype(jnp.int32)
+        out_ref[0] = jnp.clip(x, imin << bs, imax << bs).astype(
+            out_ref.dtype)
+        return
     rows = bh + n_ov
     if expand_words:   # lane-word stream is at block granularity
         w = _expand_lane_words(w, bw, Wp)
@@ -546,23 +584,41 @@ def _fused_pallas(planes, words, segs3, segd3, pat_l, pat_c, *, meta,
 
     lut_mode = meta.get("lut_mode", ("chain",) * 3)
     pwl = meta.get("pwl", (None,) * 3)
+    zs = meta.get("zero_scale", (False,) * 3)
     expand = meta.get("word_mode", "stream") == "kernel"
     pcommon = dict(bs=meta["bs"], scale_shift=meta["scale_shift"],
                    expand_words=expand)
     pl_luma = dict(bh=16, bw=16, n_ov=2, n_pat=n_pat_l, K=K_l, Wp=Wp,
                    nseg=meta["nseg_per"][0], imin=meta["y_min"],
                    imax=meta["y_max"], lut_path=lut_mode[0], pwl=pwl[0],
-                   **pcommon)
+                   zero_scale=zs[0], **pcommon)
     pl_chroma = [dict(bh=bh_c, bw=bw_c, n_ov=n_ov_c, n_pat=n_pat_c, K=K_c,
                       Wp=Wc, nseg=meta["nseg_per"][c], imin=meta["c_min"],
                       imax=meta["c_max"], lut_path=lut_mode[c], pwl=pwl[c],
-                      **pcommon)
+                      zero_scale=zs[c], **pcommon)
                  for c in (1, 2)]
     lut6 = jnp.asarray(meta["lut_bytes"])
+    wmode = meta.get("word_mode", "stream")
 
     def _wrow(ref):
         """Load a lane-word stream block as the (1, W) strip row."""
         return ref[0, 0, 0:1]
+
+    def _wload(wref, ws_ref, bw, Wl, r0):
+        """The strip's (1, Wl) lane words.  word_mode "chunk": the stream
+        is block-granular (C words/row); every _WCHUNK-th step butterfly-
+        expands the next _WCHUNK rows into VMEM scratch in one full-
+        sublane-occupancy pass, and each step reads its row back -- 1/bw
+        of the HBM traffic of "stream" without the 1/8-occupancy penalty
+        of per-strip expansion ("kernel" mode)."""
+        if wmode != "chunk":
+            return _wrow(wref)
+
+        @pl.when(r0 % _WCHUNK == 0)
+        def _expand():
+            ws_ref[...] = _expand_lane_words(wref[0], bw, Wl)
+
+        return ws_ref[pl.ds(r0 % _WCHUNK, 1)]
 
     def kernel(*refs):
         (y_ref, u_ref, v_ref, wy_ref, wu_ref, wv_ref,
@@ -574,18 +630,23 @@ def _fused_pallas(planes, words, segs3, segd3, pat_l, pat_c, *, meta,
              b0_ref) = refs[k:k + 6]
             k += 6
         oy_ref, ou_ref, ov_ref, cy_ref, cu_ref, cv_ref = refs[k:k + 6]
+        wscr = refs[k + 6:k + 9] if wmode == "chunk" else (None,) * 3
         r0 = pl.program_id(1)
         boots = [None] * 3
         if boot is not None:
             boots = [(_wrow(wr), patlu_ref if c == 0 else patcu_ref, b0_ref)
                      for c, wr in enumerate((wyu_ref, wuu_ref, wvu_ref))]
-        _strip_body(r0, y_ref, _wrow(wy_ref), sy_ref, dy_ref, patl_ref,
+        wgeom = ((16, Wp), (bw_c, Wc), (bw_c, Wc))
+        wvals = [None if zs[c] else
+                 _wload(wr, wscr[c], wgeom[c][0], wgeom[c][1], r0)
+                 for c, wr in enumerate((wy_ref, wu_ref, wv_ref))]
+        _strip_body(r0, y_ref, wvals[0], sy_ref, dy_ref, patl_ref,
                     ml_ref, lut6_ref[0:2], oy_ref, cy_ref, boot=boots[0],
                     **pl_luma)
-        _strip_body(r0, u_ref, _wrow(wu_ref), su_ref, du_ref, patc_ref,
+        _strip_body(r0, u_ref, wvals[1], su_ref, du_ref, patc_ref,
                     mc_ref, lut6_ref[2:4], ou_ref, cu_ref, boot=boots[1],
                     **pl_chroma[0])
-        _strip_body(r0, v_ref, _wrow(wv_ref), sv_ref, dv_ref, patc_ref,
+        _strip_body(r0, v_ref, wvals[2], sv_ref, dv_ref, patc_ref,
                     mc_ref, lut6_ref[4:6], ov_ref, cv_ref, boot=boots[2],
                     **pl_chroma[1])
 
@@ -593,19 +654,33 @@ def _fused_pallas(planes, words, segs3, segd3, pat_l, pat_c, *, meta,
                           memory_space=pltpu.VMEM)
     cstrip = pl.BlockSpec((1, bh_c, Wc), lambda f, r: (f, r, 0),
                           memory_space=pltpu.VMEM)
-    # Lane-word streams: full lane width (word_mode "stream") or block
-    # granularity, Wp/bw words per row, expanded in-kernel ("kernel").
-    Lw_y, Lw_u, Lw_v = (int(w.shape[3]) for w in words)
-    ylane = pl.BlockSpec((1, 1, 1, Lw_y), lambda f, r: (f, r, 0, 0),
-                         memory_space=pltpu.VMEM)
-    clane = pl.BlockSpec((1, 1, 1, Lw_u), lambda f, r: (f, r, 0, 0),
-                         memory_space=pltpu.VMEM)
+    # Lane-word streams: full lane width (word_mode "stream"), or block
+    # granularity (Wp/bw words per row) expanded in-kernel per strip
+    # ("kernel") or per _WCHUNK rows into scratch ("chunk").
+    if wmode == "chunk":
+        Cl, Cc = int(words[0].shape[2]), int(words[1].shape[2])
+        ylane = pl.BlockSpec((1, _WCHUNK, Cl),
+                             lambda f, r: (f, r // _WCHUNK, 0),
+                             memory_space=pltpu.VMEM)
+        clane = pl.BlockSpec((1, _WCHUNK, Cc),
+                             lambda f, r: (f, r // _WCHUNK, 0),
+                             memory_space=pltpu.VMEM)
+    else:
+        Lw_y, Lw_u, Lw_v = (int(w.shape[3]) for w in words)
+        ylane = pl.BlockSpec((1, 1, 1, Lw_y), lambda f, r: (f, r, 0, 0),
+                             memory_space=pltpu.VMEM)
+        clane = pl.BlockSpec((1, 1, 1, Lw_u), lambda f, r: (f, r, 0, 0),
+                             memory_space=pltpu.VMEM)
     const2 = lambda a: pl.BlockSpec(a.shape, lambda f, r: (0, 0),
                                     memory_space=pltpu.VMEM)
     smem1 = lambda a: pl.BlockSpec(a.shape, lambda f, r: (0,),
                                    memory_space=pltpu.SMEM)
 
-    wy, wu, wv = (w.reshape(w.shape[0], R, 1, w.shape[3]) for w in words)
+    if wmode == "chunk":
+        wy, wu, wv = words
+    else:
+        wy, wu, wv = (w.reshape(w.shape[0], R, 1, w.shape[3])
+                      for w in words)
     in_specs = [ystrip, cstrip, cstrip, ylane, clane, clane,
                 smem1(segs3[0]), smem1(segd3[0]), smem1(segs3[1]),
                 smem1(segd3[1]), smem1(segs3[2]), smem1(segd3[2]),
@@ -627,6 +702,13 @@ def _fused_pallas(planes, words, segs3, segd3, pat_l, pat_c, *, meta,
                  words_up[1].reshape(F, 1, 1, Wc),
                  words_up[2].reshape(F, 1, 1, Wc), patu_l, patu_c, blend0]
 
+    scratch = [pltpu.VMEM((n_pat_l * 2, Wp), jnp.int32),
+               pltpu.VMEM((n_pat_c * n_ov_c, Wc), jnp.int32),
+               pltpu.VMEM((n_pat_c * n_ov_c, Wc), jnp.int32)]
+    if wmode == "chunk":
+        scratch += [pltpu.VMEM((_WCHUNK, Wp), jnp.int32),
+                    pltpu.VMEM((_WCHUNK, Wc), jnp.int32),
+                    pltpu.VMEM((_WCHUNK, Wc), jnp.int32)]
     return pl.pallas_call(
         kernel,
         grid=(F, R),
@@ -634,9 +716,7 @@ def _fused_pallas(planes, words, segs3, segd3, pat_l, pat_c, *, meta,
         out_specs=[ystrip, cstrip, cstrip],
         out_shape=[jax.ShapeDtypeStruct(p.shape, p.dtype)
                    for p in (y, u, v)],
-        scratch_shapes=[pltpu.VMEM((n_pat_l * 2, Wp), jnp.int32),
-                        pltpu.VMEM((n_pat_c * n_ov_c, Wc), jnp.int32),
-                        pltpu.VMEM((n_pat_c * n_ov_c, Wc), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
 
@@ -726,8 +806,10 @@ def _expand_words_pallas(wblks, bws, *, interpret=False):
         ins.append(flat)
         shapes.append((C, C * bw))
 
+    n_planes = len(ins)
+
     def kernel(*refs):
-        in_refs, out_refs = refs[:3], refs[3:]
+        in_refs, out_refs = refs[:n_planes], refs[n_planes:]
         for ref, oref, (C, Wp), bw in zip(in_refs, out_refs, shapes, bws):
             lb = bw.bit_length() - 1
             v = ref[...]
@@ -756,23 +838,52 @@ def _expand_words_pallas(wblks, bws, *, interpret=False):
     return [o[:FR].reshape(F, R, 1, o.shape[1]) for o in outs]
 
 
-# Default lane-word transport (A/B-tested on hardware, tools/probe_r5.py):
-#   "xla"    -- expanded lane words via XLA broadcast-reshape
+# Default lane-word transport (A/B-tested on hardware, tools/probe_r5.py
+# and the round-5 in-situ sweep recorded in docs/DESIGN.md 3.2):
+#   "xla"    -- expanded lane words via XLA broadcast-reshape (the
+#               default: in the full step its removable cost is only
+#               ~0.15 ms -- the 0.77 ms it shows in isolation overlaps
+#               with the kernel's own HBM streaming)
+#   "chunk"  -- block-granular stream, butterfly-expanded into VMEM
+#               scratch every _WCHUNK grid steps; 1/bw the HBM traffic,
+#               but the 12 roll+select lane passes cost ~0.28 ms/step
+#               (lane rotates are multi-pass), a measured net loss
 #   "pallas" -- expanded lane words via the butterfly prep kernel
-#   "kernel" -- block-granular stream, butterfly expansion in the main kernel
+#   "kernel" -- block-granular stream, per-strip butterfly in the main
+#               kernel (1/8 sublane occupancy; kept as a cross-check)
 WORD_EXPAND = "xla"
 
 
-def _lane_words3(lat, csubx, csuby, *, interpret=False, expand="xla"):
-    """All three planes' lane-word streams from the state lattice."""
-    blk = [_block_words(lat, c, csubx, csuby) for c in range(3)]
-    if expand == "kernel":
-        return [b.reshape(b.shape[0], b.shape[1], 1, b.shape[2])
+def _lane_words3(lat, csubx, csuby, *, interpret=False, expand="xla",
+                 active=(True, True, True)):
+    """All three planes' lane-word streams from the state lattice.
+
+    ``active``: planes whose scale LUT is identically zero never read
+    their words (zero-scale skip) -- their stream is a zeros placeholder
+    so the prep pays nothing for them."""
+    F, R, C = lat.shape
+    blk = [_block_words(lat, c, csubx, csuby) if a else
+           (None, 16 // (csubx if c else 1))
+           for c, a in enumerate(active)]
+    if expand == "chunk":
+        Rp = -(-R // _WCHUNK) * _WCHUNK
+        return [jnp.zeros((F, Rp, C), jnp.int32) if b is None else
+                (jnp.pad(b, ((0, 0), (0, Rp - R), (0, 0)))
+                 if Rp > R else b)
                 for b, _ in blk]
+    if expand == "kernel":
+        return [jnp.zeros((F, R, 1, C), jnp.int32) if b is None else
+                b.reshape(F, R, 1, C) for b, _ in blk]
     if expand == "pallas":
-        return _expand_words_pallas([b for b, _ in blk], [bw for _, bw in blk],
-                                    interpret=interpret)
-    return [_lane_words_xla(b, bw) for b, bw in blk]
+        idx = [c for c in range(3) if blk[c][0] is not None]
+        exp = dict(zip(idx, _expand_words_pallas(
+            [blk[c][0] for c in idx], [blk[c][1] for c in idx],
+            interpret=interpret)))
+        return [exp[c] if blk[c][0] is not None else
+                jnp.zeros((F, R, 1, C * blk[c][1]), jnp.int32)
+                for c in range(3)]
+    return [jnp.zeros((F, R, 1, C * bw), jnp.int32) if b is None else
+            _lane_words_xla(b, bw) for b, bw in blk]
 
 
 def _call_meta(tables: dict, bs: int) -> dict:
@@ -786,6 +897,7 @@ def _call_meta(tables: dict, bs: int) -> dict:
         bs=bs, scale_shift=tables["scale_shift"],
         nseg_per=tuple(int(n) for n in nseg_per),
         lut_mode=tuple(lut_mode), pwl=tuple(tables.get("pwl", (None,) * 3)),
+        zero_scale=tuple(tables.get("zero_scale", (False,) * 3)),
         lut_bytes=tables["lut_bytes"],
         y_min=tables["y_min"], y_max=tables["y_max"],
         c_min=tables["c_min"], c_max=tables["c_max"],
@@ -816,10 +928,12 @@ def add_grain_batch_natural(y, u, v, bases, bases_up, tables: dict, *,
                                          y.shape[2] // 16))(bases)
     segs = jnp.asarray(tables["seg_starts"])
     segd = jnp.asarray(tables["seg_deltas"])
+    active = tuple(not z for z in tables.get("zero_scale", (False,) * 3))
     words = _lane_words3(lat, csubx, csuby, interpret=interpret,
-                         expand=word_expand)
+                         expand=word_expand, active=active)
     meta = _call_meta(tables, bs)
-    meta["word_mode"] = "kernel" if word_expand == "kernel" else "stream"
+    meta["word_mode"] = (word_expand if word_expand in ("kernel", "chunk")
+                         else "stream")
     return tuple(_fused_pallas(
         (y, u, v), words, [segs[c] for c in range(3)],
         [segd[c] for c in range(3)], jnp.asarray(tables["pat2_luma"]),
@@ -857,14 +971,19 @@ def add_grain_shard_natural(y, u, v, states, states_up, ov_mask,
     segs = jnp.asarray(tables["seg_starts"])
     segd = jnp.asarray(tables["seg_deltas"])
     blend0 = ov_mask[0].astype(jnp.int32).reshape(1)
-    words = _lane_words3(states, csubx, csuby, interpret=interpret)
+    active = tuple(not z for z in tables.get("zero_scale", (False,) * 3))
+    words = _lane_words3(states, csubx, csuby, interpret=interpret,
+                         expand=WORD_EXPAND, active=active)
     # The boot row is one block row per frame -- too small for the
     # butterfly kernel to pay off; the XLA expansion is fine there.
     words_up = [_lane_words_xla(*_block_words(states_up[:, :1], c,
                                               csubx, csuby))
                 for c in range(3)]
+    meta = _call_meta(tables, bs)
+    meta["word_mode"] = (WORD_EXPAND if WORD_EXPAND in ("kernel", "chunk")
+                         else "stream")
     return tuple(_fused_pallas(
         (y, u, v), words, [segs[c] for c in range(3)],
         [segd[c] for c in range(3)], jnp.asarray(tables["pat2_luma"]),
-        jnp.asarray(tables["pat2_chroma"]), meta=_call_meta(tables, bs),
+        jnp.asarray(tables["pat2_chroma"]), meta=meta,
         interpret=interpret, boot=(words_up, blend0)))
