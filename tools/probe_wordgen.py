@@ -1,6 +1,14 @@
 """Round-5: time lane-word generation alone (XLA broadcast-reshape vs the
 Pallas butterfly), chained methodology.  Usage: python tools/probe_wordgen.py
-[chunk ...]"""
+[chunk ...]
+
+CAVEAT (docs/DESIGN.md 3.2): isolated wordgen numbers are artifacts in
+both directions -- the reduction feedback here lets XLA fuse away the
+25 MB materialization the real kernel reads (reads ~0.32 ms), while a
+prep-only ablation serializes work the full step overlaps (~0.77 ms).
+The honest transport cost is the in-situ delta between full steps
+(~0.15 ms); use tools/probe_budget.py + the word_expand= A/B for
+decisions, not this file alone."""
 import os
 import sys
 
@@ -43,10 +51,11 @@ def make_step(expand):
     return jax.jit(step)
 
 
-for arg in (sys.argv[1:] or ["64"]):
-    gn._EXPAND_CHUNK = int(arg)
-    for expand in ("xla", "pallas"):
-        fps = _chain_fps(make_step(expand), state0, cargs)
-        print(f"wordgen: expand={expand:6s} chunk={gn._EXPAND_CHUNK:4d} "
-              f"{1000 * F / fps:.3f} ms/step ({fps:.0f} fps-equiv)",
-              flush=True)
+if __name__ == "__main__":
+    for arg in (sys.argv[1:] or ["64"]):
+        gn._EXPAND_CHUNK = int(arg)
+        for expand in ("xla", "pallas"):
+            fps = _chain_fps(make_step(expand), state0, cargs)
+            print(f"wordgen: expand={expand:6s} chunk={gn._EXPAND_CHUNK:4d} "
+                  f"{1000 * F / fps:.3f} ms/step ({fps:.0f} fps-equiv)",
+                  flush=True)
