@@ -188,6 +188,59 @@ def test_word_transport_modes_match(kind, mode):
             f"{kind} word_expand={mode} plane {p}"
 
 
+@pytest.mark.parametrize("mode", ["xla", "chunk", "pallas", "kernel"])
+def test_all_components_absent(mode):
+    """comp_model_present = [0,0,0] zero-scales every plane: the engine
+    must reduce to clip(x) on all three planes through every word
+    transport (the "pallas" expansion kernel used to be called with an
+    empty plane list here)."""
+    from versatilefilmgrain_tpu.models import config as cfgmod
+    from versatilefilmgrain_tpu.models import fw
+    from versatilefilmgrain_tpu.models.hw import HwRegs
+
+    regs = HwRegs()
+    regs.set_depth(10)
+    regs.set_chroma_subsampling(2, 2)
+    sei = cfgmod.default_sei()
+    sei.comp_model_present_flag = [0, 0, 0]
+    fw.init_sei(sei, regs)
+    nt = natural_tables(regs)
+    assert nt["zero_scale"] == (True, True, True)
+    H, W, F = 80, 160, 2
+    rng = np.random.default_rng(3)
+    planes = (jnp.asarray(rng.integers(0, 1024, (F, H, W), np.uint16)),
+              jnp.asarray(rng.integers(0, 1024, (F, H // 2, W // 2),
+                                       np.uint16)),
+              jnp.asarray(rng.integers(0, 1024, (F, H // 2, W // 2),
+                                       np.uint16)))
+    cargs = (jnp.zeros(F, jnp.uint32), jnp.zeros(F, jnp.uint32))
+    out = add_grain_batch_natural(*planes, *cargs, nt, height=H, width=W,
+                                  bs=2, csubx=2, csuby=2, interpret=True,
+                                  word_expand=mode)
+    lims = [(regs.y_min, regs.y_max), (regs.c_min, regs.c_max),
+            (regs.c_min, regs.c_max)]
+    for p, (a, (lo, hi)) in enumerate(zip(out, lims)):
+        want = np.clip(np.asarray(planes[p], np.int32), lo << 2, hi << 2)
+        assert np.array_equal(np.asarray(a, np.int32), want), \
+            f"plane {p} mode {mode}"
+
+
+def test_force_pwl_unfittable_fails_fast(monkeypatch):
+    """force_lut_path="pwl" on a LUT with no exact PWL form raises at
+    table-build time instead of dying inside the kernel trace.  (With
+    max_segs=256 every real register file fits — single-point segments
+    are always exact and MAX_PATTERNS=8 bounds the pattern index to the
+    pack's 3-bit field — so the unfittable case is simulated by stubbing
+    the fitter; the guard is defensive.)"""
+    from versatilefilmgrain_tpu.ops import grain_natural as gn
+
+    regs = _regs_for("sei_ff", 10, (2, 2))
+    natural_tables(regs, force_lut_path=("pwl", "chain", "chain"))  # fits
+    monkeypatch.setattr(gn, "fit_pwl", lambda *a, **k: None)
+    with pytest.raises(ValueError, match="no exact PWL form"):
+        gn.natural_tables(regs, force_lut_path=("pwl", "chain", "chain"))
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_natural_matches_fast_random_cfg(seed):
     """Differential fuzz: random SEI configs (random interval counts, pattern

@@ -44,8 +44,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import _chain_fps, _regs_from_cfg, H, W, FRAMES_BATCH  # noqa: E402
 from versatilefilmgrain_tpu.ops import lfsr  # noqa: E402
 from versatilefilmgrain_tpu.ops.grain_natural import (  # noqa: E402
-    _PACK_SHIFT, _build_onehot, _deblock_mask, _lane_words3, _mux,
-    natural_tables)
+    _PACK_SHIFT, _build_onehot, _deblock_mask, _eval_lut, _lane_words3,
+    _mux, natural_tables)
 from __graft_entry__ import _default_regs, _frame_bases  # noqa: E402
 
 CFGDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
@@ -55,52 +55,22 @@ CFGDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 def _strip_body_abl(r0, x_ref, w_ref, segs_ref, segd_ref, pat_ref, mask_ref,
                     lut_ref, out_ref, carry_ref, *, bh, bw, n_ov, n_pat, nseg,
                     K, bs, scale_shift, imin, imax, Wp, lut_path, pwl, skip,
-                    reorder):
+                    reorder, zero_scale=False):
     rows = bh + n_ov
     x = x_ref[0].astype(jnp.int32)
+    if zero_scale:   # mirror the production kernel's zero-scale skip
+        out_ref[0] = jnp.clip(x, imin << bs, imax << bs).astype(
+            out_ref.dtype)
+        return
     inten = (x >> bs) & 0xFF
 
     def do_lut():
         if "lut" in skip:
             return inten & 0xFF, inten & max(n_pat - 1, 0)
-        if lut_path == "lutdot":
-            q4io = jax.lax.broadcasted_iota(jnp.int32, (64, Wp), 0)
-            lrows = []
-            for yy in range(bh):
-                iv = inten[yy:yy + 1]
-                w64 = jnp.where(q4io == (iv >> 2),
-                                jnp.int32(1) << ((iv & 3) << 3), 0)
-                oh = pltpu.bitcast(w64, jnp.int8)
-                lh = jax.lax.dot_general(lut_ref[:], oh,
-                                         (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.int32)
-                lrows.append((lh[0:1] & 0xFF) | ((lh[1:2] & 0xFF) << 8))
-            acc = jnp.concatenate(lrows, axis=0)
-        elif lut_path == "pwl":
-            pA, pB = pwl
-            accA = jnp.full_like(inten, pA[0])
-            accB = jnp.full_like(inten, pB[0])
-            for s in range(1, len(pA)):
-                m = inten >= (pA[s] & 0xFF)
-                if pA[s] != pA[s - 1]:
-                    accA = jnp.where(m, pA[s], accA)
-                if pB[s] != pB[s - 1]:
-                    accB = jnp.where(m, pB[s], accB)
-            lo = accA & 0xFF
-            h = (accA >> 8) & 0x7F
-            y0 = (accA >> 15) & 0xFF
-            piw = (accA >> 23) & 7
-            sh = accA >> 26
-            dy = (accB & 0x3FF) - 256
-            mM = accB >> 10
-            n = dy * (inten - lo) + h
-            qa = (jnp.abs(n) * mM) >> sh
-            sc_ = (y0 + jnp.where(n < 0, -qa, qa)) & 0xFF
-            acc = sc_ | (piw << _PACK_SHIFT)
-        else:
-            acc = jnp.zeros_like(inten)
-            for k in range(nseg):
-                acc = acc + jnp.where(inten >= segs_ref[k], segd_ref[k], 0)
+        # The SAME traced evaluation as production (grain_natural._eval_lut),
+        # so the probe cannot drift from shipping behaviour.
+        acc = _eval_lut(inten, segs_ref, segd_ref, lut_ref, bh=bh, Wp=Wp,
+                        nseg=nseg, lut_path=lut_path, pwl=pwl)
         return acc & ((1 << _PACK_SHIFT) - 1), acc >> _PACK_SHIFT
 
     def do_dot():
@@ -176,16 +146,17 @@ def _fused_abl(planes, words, segs3, segd3, pat_l, pat_c, lut6, *, meta, skip,
 
     lut_mode = meta.get("lut_mode", ("chain",) * 3)
     pwl = meta.get("pwl", (None,) * 3)
+    zs = meta.get("zero_scale", (False,) * 3)
     pcommon = dict(bs=meta["bs"], scale_shift=meta["scale_shift"],
                    skip=skip, reorder=reorder)
     pl_luma = dict(bh=16, bw=16, n_ov=2, n_pat=n_pat_l, K=K_l, Wp=Wp,
                    nseg=meta["nseg_per"][0], imin=meta["y_min"],
                    imax=meta["y_max"], lut_path=lut_mode[0], pwl=pwl[0],
-                   **pcommon)
+                   zero_scale=zs[0], **pcommon)
     pl_chroma = [dict(bh=bh_c, bw=bw_c, n_ov=n_ov_c, n_pat=n_pat_c, K=K_c,
                       Wp=Wc, nseg=meta["nseg_per"][c], imin=meta["c_min"],
                       imax=meta["c_max"], lut_path=lut_mode[c], pwl=pwl[c],
-                      **pcommon) for c in (1, 2)]
+                      zero_scale=zs[c], **pcommon) for c in (1, 2)]
 
     def kernel(*refs):
         (y_ref, u_ref, v_ref, wy_ref, wu_ref, wv_ref,

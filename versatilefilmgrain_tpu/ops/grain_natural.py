@@ -38,7 +38,8 @@ that assembles pattern windows:
   traffic vs separate t/sign arrays.  The block->lane broadcast-reshape
   this prep pays for is a tiled relayout; the measured-and-rejected
   alternatives (int16 words, XLA matmul expansion, three in-kernel
-  expansion schemes) are in _lane_words's docstring.
+  expansion schemes, the chunked butterfly) are in _lane_words_xla's
+  docstring and docs/DESIGN.md 3.2.
 
 * **Overlap rows ride a VMEM carry.**  Vertical overlap needs the previous
   block row's window rows bh..bh+n_ov-1 at the previous row's offsets
@@ -290,6 +291,13 @@ def natural_tables(regs, *, lut_dot_threshold: int = LUT_DOT_THRESHOLD,
                  else tuple(force_lut_path))
         pwl = tuple(fit_pwl(regs.slut[c], regs.plut[c], max_segs=256)
                     if modes[c] == "pwl" else None for c in range(3))
+        for c in range(3):
+            if modes[c] == "pwl" and pwl[c] is None:
+                raise ValueError(
+                    f"force_lut_path='pwl': component {c}'s LUT has no "
+                    f"exact PWL form (a pattern index > 7 exceeds the "
+                    f"pack's 3-bit field, or no segment reproduces the "
+                    f"values); use 'chain' or 'lutdot' for this config")
     else:
         modes, pwl = [], []
         for c, n in enumerate(nseg_per):
@@ -419,6 +427,64 @@ def _build_onehot(w, K: int, Wp: int):
     return onehot, sg
 
 
+def _eval_lut(inten, segs_ref, segd_ref, lut_ref, *, bh, Wp, nseg,
+              lut_path, pwl):
+    """Packed (scale | pattern<<_PACK_SHIFT) per pixel from the intensity.
+
+    The single implementation both the production kernel and the budget
+    probe (tools/probe_budget.py) trace, so ablation measurements cannot
+    drift from shipping behaviour.  Three paths (natural_tables
+    docstring): run-length compare/add chain, direct piecewise-linear
+    formula, or per-row one-hot MXU contraction."""
+    if lut_path == "lutdot":
+        # One-hot LUT contraction: per row, byte-packed one-hot of the
+        # intensity against the LUT's byte rows.
+        q4io = jax.lax.broadcasted_iota(jnp.int32, (64, Wp), 0)
+        lrows = []
+        for yy in range(bh):
+            iv = inten[yy:yy + 1]
+            w64 = jnp.where(q4io == (iv >> 2),
+                            jnp.int32(1) << ((iv & 3) << 3), 0)
+            oh = pltpu.bitcast(w64, jnp.int8)                  # (256, Wp)
+            lh = jax.lax.dot_general(lut_ref[:], oh,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+            lrows.append((lh[0:1] & 0xFF) | ((lh[1:2] & 0xFF) << 8))
+        return jnp.concatenate(lrows, axis=0)
+    if lut_path == "pwl":
+        # Direct piecewise-linear formula (fit_pwl docstring): recover
+        # the active segment's packed constants with two select chains
+        # sharing one predicate, then evaluate the reference's integer
+        # lerp (vfgs_fw.c:648-660) with the truncating division done as
+        # a per-segment magic multiply whose exactness fit_pwl verified
+        # host-side.
+        pA, pB = pwl
+        accA = jnp.full_like(inten, pA[0])
+        accB = jnp.full_like(inten, pB[0])
+        for s in range(1, len(pA)):
+            m = inten >= (pA[s] & 0xFF)
+            if pA[s] != pA[s - 1]:
+                accA = jnp.where(m, pA[s], accA)
+            if pB[s] != pB[s - 1]:
+                accB = jnp.where(m, pB[s], accB)
+        lo = accA & 0xFF
+        h = (accA >> 8) & 0x7F
+        y0 = (accA >> 15) & 0xFF
+        piw = (accA >> 23) & 7
+        sh = accA >> 26
+        dy = (accB & 0x3FF) - 256
+        mM = accB >> 10
+        n = dy * (inten - lo) + h
+        qa = (jnp.abs(n) * mM) >> sh
+        sc_ = (y0 + jnp.where(n < 0, -qa, qa)) & 0xFF
+        return sc_ | (piw << _PACK_SHIFT)
+    # Run-length compare/add chain.
+    acc = jnp.zeros_like(inten)
+    for k in range(nseg):
+        acc = acc + jnp.where(inten >= segs_ref[k], segd_ref[k], 0)
+    return acc
+
+
 def _strip_body(r0, x_ref, w, segs_ref, segd_ref, pat_ref, mask_ref,
                 lut_ref, out_ref, carry_ref, *, bh, bw, n_ov, n_pat, nseg,
                 K, bs, scale_shift, imin, imax, Wp, lut_path="chain",
@@ -469,53 +535,8 @@ def _strip_body(r0, x_ref, w, segs_ref, segd_ref, pat_ref, mask_ref,
                                (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
 
-    if lut_path == "lutdot":
-        # Packed (scale | pattern<<9) via one-hot LUT contraction: per row,
-        # byte-packed one-hot of the intensity against the LUT's byte rows.
-        q4io = jax.lax.broadcasted_iota(jnp.int32, (64, Wp), 0)
-        lrows = []
-        for yy in range(bh):
-            iv = inten[yy:yy + 1]
-            w64 = jnp.where(q4io == (iv >> 2),
-                            jnp.int32(1) << ((iv & 3) << 3), 0)
-            oh = pltpu.bitcast(w64, jnp.int8)                  # (256, Wp)
-            lh = jax.lax.dot_general(lut_ref[:], oh,
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.int32)
-            lrows.append((lh[0:1] & 0xFF) | ((lh[1:2] & 0xFF) << 8))
-        acc = jnp.concatenate(lrows, axis=0)
-    elif lut_path == "pwl":
-        # Packed (scale | pattern<<9) via the direct piecewise-linear
-        # formula (fit_pwl docstring): recover the active segment's packed
-        # constants with two select chains sharing one predicate, then
-        # evaluate the reference's integer lerp (vfgs_fw.c:648-660) with
-        # the truncating division done as a per-segment magic multiply
-        # whose exactness fit_pwl verified host-side.
-        pA, pB = pwl
-        accA = jnp.full_like(inten, pA[0])
-        accB = jnp.full_like(inten, pB[0])
-        for s in range(1, len(pA)):
-            m = inten >= (pA[s] & 0xFF)
-            if pA[s] != pA[s - 1]:
-                accA = jnp.where(m, pA[s], accA)
-            if pB[s] != pB[s - 1]:
-                accB = jnp.where(m, pB[s], accB)
-        lo = accA & 0xFF
-        h = (accA >> 8) & 0x7F
-        y0 = (accA >> 15) & 0xFF
-        piw = (accA >> 23) & 7
-        sh = accA >> 26
-        dy = (accB & 0x3FF) - 256
-        mM = accB >> 10
-        n = dy * (inten - lo) + h
-        qa = (jnp.abs(n) * mM) >> sh
-        sc_ = (y0 + jnp.where(n < 0, -qa, qa)) & 0xFF
-        acc = sc_ | (piw << _PACK_SHIFT)
-    else:
-        # Packed (scale | pattern<<9) via run-length compare/add chain.
-        acc = jnp.zeros_like(inten)
-        for k in range(nseg):
-            acc = acc + jnp.where(inten >= segs_ref[k], segd_ref[k], 0)
+    acc = _eval_lut(inten, segs_ref, segd_ref, lut_ref, bh=bh, Wp=Wp,
+                    nseg=nseg, lut_path=lut_path, pwl=pwl)
     sc = acc & ((1 << _PACK_SHIFT) - 1)
     pi = acc >> _PACK_SHIFT
 
@@ -816,18 +837,7 @@ def _expand_words_pallas(wblks, bws, *, interpret=False):
     def kernel(*refs):
         in_refs, out_refs = refs[:n_planes], refs[n_planes:]
         for ref, oref, (C, Wp), bw in zip(in_refs, out_refs, shapes, bws):
-            lb = bw.bit_length() - 1
-            v = ref[...]
-            e = jnp.concatenate(
-                [v, jnp.zeros((v.shape[0], Wp - C), jnp.int32)], axis=1) \
-                if Wp > C else v
-            lane = jax.lax.broadcasted_iota(jnp.int32, v.shape[:1] + (Wp,), 1)
-            disp = lane - (lane >> lb)
-            dmax = (Wp - 1) - ((Wp - 1) >> lb)
-            for k in reversed(range(dmax.bit_length())):
-                e = jnp.where(((disp >> k) & 1) != 0,
-                              pltpu.roll(e, 1 << k, axis=1), e)
-            oref[...] = e + (lane & (bw - 1))
+            oref[...] = _expand_lane_words(ref[...], bw, Wp)
 
     grid = (FRp // _EXPAND_CHUNK,)
     in_specs = [pl.BlockSpec((_EXPAND_CHUNK, C), lambda i: (i, 0),
@@ -883,7 +893,7 @@ def _lane_words3(lat, csubx, csuby, *, interpret=False, expand="xla",
         idx = [c for c in range(3) if blk[c][0] is not None]
         exp = dict(zip(idx, _expand_words_pallas(
             [blk[c][0] for c in idx], [blk[c][1] for c in idx],
-            interpret=interpret)))
+            interpret=interpret))) if idx else {}
         return [exp[c] if blk[c][0] is not None else
                 jnp.zeros((F, R, 1, C * blk[c][1]), jnp.int32)
                 for c in range(3)]
@@ -962,7 +972,8 @@ def make_batched_step(tables: dict, *, height: int, width: int, bs: int,
 
 def add_grain_shard_natural(y, u, v, states, states_up, ov_mask,
                             tables: dict, *, bs: int, csubx: int, csuby: int,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            word_expand: str | None = None):
     """Per-shard natural-engine step (a ``shard_map`` body; parallel/mesh.py).
 
     ``states``/``states_up``: (F, R_local, C) uint32 lattices for the local
@@ -976,16 +987,17 @@ def add_grain_shard_natural(y, u, v, states, states_up, ov_mask,
     segs = jnp.asarray(tables["seg_starts"])
     segd = jnp.asarray(tables["seg_deltas"])
     blend0 = ov_mask[0].astype(jnp.int32).reshape(1)
+    word_expand = word_expand or WORD_EXPAND
     active = tuple(not z for z in tables.get("zero_scale", (False,) * 3))
     words = _lane_words3(states, csubx, csuby, interpret=interpret,
-                         expand=WORD_EXPAND, active=active)
+                         expand=word_expand, active=active)
     # The boot row is one block row per frame -- too small for the
     # butterfly kernel to pay off; the XLA expansion is fine there.
     words_up = [_lane_words_xla(*_block_words(states_up[:, :1], c,
                                               csubx, csuby))
                 for c in range(3)]
     meta = _call_meta(tables, bs)
-    meta["word_mode"] = (WORD_EXPAND if WORD_EXPAND in ("kernel", "chunk")
+    meta["word_mode"] = (word_expand if word_expand in ("kernel", "chunk")
                          else "stream")
     return tuple(_fused_pallas(
         (y, u, v), words, [segs[c] for c in range(3)],
