@@ -400,6 +400,16 @@ def bench_tpu() -> dict:
                 f"{kind} {fps_k:.0f} fps exceeds its reachable ceiling "
                 f"{reach_k:.0f} fps — MAC model or peak measurement broken")
             matrix[kind] = (fps_k, n_pat_k, reach_k)
+        # Loose regression floors (measured r5: sei_ar ~3.1x the default
+        # via the zero-scale chroma skip, afgs1 ~1.36x via the PWL path;
+        # thresholds at roughly half the margin so noise cannot trip
+        # them, but a silent loss of either specialization does).
+        assert matrix["sei_ar"][0] >= 2.0 * natural_fps, (
+            f"sei_ar {matrix['sei_ar'][0]:.0f} fps < 2x default "
+            f"{natural_fps:.0f} — zero-scale plane skip regressed?")
+        assert matrix["afgs1"][0] >= 1.1 * natural_fps, (
+            f"afgs1 {matrix['afgs1'][0]:.0f} fps < 1.1x default "
+            f"{natural_fps:.0f} — PWL LUT path regressed?")
         print("bench: matrix "
               + " | ".join(f"{k}: natural={v[0]:.1f} fps = "
                            f"{100 * v[0] / v[2]:.0f}% of reachable "
