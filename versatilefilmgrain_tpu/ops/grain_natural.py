@@ -385,8 +385,6 @@ def _mux(planes, pi):
     return cur[0]
 
 
-
-
 def _expand_lane_words(wrows, bw: int, Wp: int):
     """(n, C) block words -> (n, Wp) lane words, in-kernel.
 
